@@ -1,0 +1,53 @@
+"""Audio ingest: decode, mono-fold, resample, trim.
+
+Replaces the reference's ``load_processing`` (duplicated at
+`/root/reference/src/nomad_audio/nomad.py:192-212` and
+`src/dataloader/triplet_dataloader.py:8-28`): torchaudio.load -> average of
+channels 0 and 1 when multichannel (reference quirk Q4: channels beyond the
+second are dropped) -> resample to 16 kHz with torchaudio-default sinc filter
+-> optional 10 s trim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .resample import resample, resample_jnp, sinc_resample_kernel
+from .wav import WavInfo, read_wav, read_wav_bytes, wav_info, write_wav
+
+TARGET_SR = 16000
+
+
+def load_processing(
+    filepath: str,
+    target_sr: int = TARGET_SR,
+    trim: bool = False,
+) -> np.ndarray:
+    """Load a WAV file -> float32 [1, samples] at ``target_sr``.
+
+    Mirrors reference `nomad.py:192-212`: stereo folds to (ch0+ch1)/2,
+    resample when needed, trim to 10 s when ``trim``.
+    """
+    wave, sr = read_wav(filepath)
+    if wave.shape[0] > 1:
+        wave = ((wave[0, :] + wave[1, :]) / 2.0)[None, :]
+    if sr != target_sr:
+        wave = resample(wave, sr, target_sr)
+        sr = target_sr
+    if trim and wave.shape[1] > sr * 10:
+        wave = wave[:, : sr * 10]
+    return np.ascontiguousarray(wave, dtype=np.float32)
+
+
+__all__ = [
+    "TARGET_SR",
+    "WavInfo",
+    "load_processing",
+    "read_wav",
+    "read_wav_bytes",
+    "resample",
+    "resample_jnp",
+    "sinc_resample_kernel",
+    "wav_info",
+    "write_wav",
+]

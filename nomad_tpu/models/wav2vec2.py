@@ -1,0 +1,376 @@
+"""wav2vec 2.0 BASE backbone in flax.linen, designed TPU-first.
+
+Reimplements the external fairseq backbone the reference loads at
+`/root/reference/src/nomad_audio/nomad.py:58-60` and calls as
+``ssl_model(wav, mask=False, features_only=True)``
+(`nomad.py:226-228, 245-248`). Architecture (verified against the HF
+``Wav2Vec2Config`` BASE defaults, which mirror the fairseq checkpoint):
+
+  * 7-layer strided conv feature encoder, 512 ch, bias-free, GroupNorm(512)
+    after layer 0 only, GELU after every layer; total stride 320, receptive
+    field 400 samples (~49 frames/s at 16 kHz).
+  * LayerNorm(512) + Linear 512->768 feature projection.
+  * Grouped positional conv (k=128, groups=16, weight-norm composed at
+    conversion time) + GELU, residual add, then LayerNorm (post-norm BASE).
+  * 12 post-LN transformer blocks (d=768, 12 heads, FFN 3072, GELU); the
+    per-block outputs are the reference's ``layer_results``.
+
+TPU-first design choices (none of these exist in the torch original):
+
+  * **Static shapes + exact masking.** The reference scores files one at a
+    time, unpadded (`nomad.py:172-183`). To batch under XLA we pad to bucket
+    lengths and keep *bit-accurate* equivalence with the unpadded compute:
+    conv frame counts use the exact floor arithmetic, GroupNorm statistics
+    are masked, padded frames are re-zeroed after every bias/norm, and
+    attention masks padded keys (additive -1e9 underflows to weight 0).
+    With ``lengths=None`` the model reproduces the reference's *training*
+    semantics instead, where zero-padding leaks into GroupNorm/attention/
+    mean-pool (SURVEY quirk Q6).
+  * **nn.scan over the 12 blocks** — one compiled block body instead of 12,
+    with stacked [12, ...] params; optional ``nn.remat`` for training.
+  * **Pluggable attention** — ``xla`` einsum (default) or the fused Pallas
+    flash kernel (``attention_impl='pallas'``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import mha
+
+
+@dataclasses.dataclass(frozen=True)
+class Wav2Vec2Config:
+    conv_dim: Sequence[int] = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: Sequence[int] = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    ffn_dim: int = 3072
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    layer_norm_eps: float = 1e-5
+    dropout: float = 0.1            # residual + input dropout (fairseq `dropout`)
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    # fairseq BASE pretrains with layerdrop 0.05; we default to 0 (documented
+    # divergence — layerdrop in a scanned stack is a keep-mask multiply).
+    layerdrop: float = 0.0
+    dtype: Any = jnp.float32        # compute dtype (params stay float32)
+    attention_impl: str = "xla"     # 'xla' | 'pallas'
+    remat: bool = False
+
+    @classmethod
+    def base(cls, **kw) -> "Wav2Vec2Config":
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "Wav2Vec2Config":
+        """Small config for unit tests (same topology, ~100x fewer params)."""
+        defaults = dict(
+            conv_dim=(32, 32, 32),
+            conv_kernel=(10, 3, 2),
+            conv_stride=(5, 2, 2),
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            ffn_dim=128,
+            pos_conv_kernel=16,
+            pos_conv_groups=4,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+
+def feature_frame_lengths(lengths, config: Wav2Vec2Config):
+    """Sample lengths -> conv-encoder frame lengths (exact VALID-conv floor
+    arithmetic: l' = (l - k)//s + 1 per layer)."""
+    l = lengths
+    for k, s in zip(config.conv_kernel, config.conv_stride):
+        l = (l - k) // s + 1
+    return l
+
+
+def _time_mask(length: int, lengths, dtype):
+    """[B, length, 1] validity mask from per-item lengths."""
+    idx = jnp.arange(length)[None, :]
+    return (idx < lengths[:, None]).astype(dtype)[:, :, None]
+
+
+def masked_mean(x, lengths=None):
+    """Mean over time. With lengths, pools only valid frames (exact batch-1
+    parity); without, pools over the padded axis like reference training
+    (`nomad.py:228`, quirk Q6)."""
+    if lengths is None:
+        return jnp.mean(x, axis=1)
+    mask = _time_mask(x.shape[1], lengths, x.dtype)
+    return jnp.sum(x * mask, axis=1) / lengths[:, None].astype(x.dtype)
+
+
+class MaskedGroupNorm(nn.Module):
+    """GroupNorm with num_groups == channels (per-channel instance norm over
+    time), optionally with masked statistics so padded frames don't perturb
+    valid ones. torch eps=1e-5, biased variance."""
+
+    channels: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, lengths=None):
+        # x: [B, T, C]
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        xf = x.astype(jnp.float32)
+        if lengths is None:
+            mean = jnp.mean(xf, axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
+        else:
+            mask = _time_mask(x.shape[1], lengths, jnp.float32)
+            denom = lengths[:, None, None].astype(jnp.float32)
+            mean = jnp.sum(xf * mask, axis=1, keepdims=True) / denom
+            var = jnp.sum(jnp.square(xf - mean) * mask, axis=1, keepdims=True) / denom
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        if lengths is not None:
+            y = y * _time_mask(x.shape[1], lengths, jnp.float32)
+        return y.astype(x.dtype)
+
+
+class ConvFeatureEncoder(nn.Module):
+    """fairseq ConvFeatureExtractionModel, mode='default' (SURVEY §2.3)."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, wav, lengths=None):
+        cfg = self.config
+        x = wav.astype(cfg.dtype)[:, :, None]  # [B, T, 1]
+        l = lengths
+        for i, (dim, k, s) in enumerate(
+            zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)
+        ):
+            x = nn.Conv(
+                features=dim,
+                kernel_size=(k,),
+                strides=(s,),
+                padding="VALID",
+                use_bias=False,
+                dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                name=f"conv_{i}",
+            )(x)
+            if l is not None:
+                l = (l - k) // s + 1
+            if i == 0:
+                x = MaskedGroupNorm(dim, eps=1e-5, name="group_norm")(x, l)
+            x = jax.nn.gelu(x, approximate=False)
+            if l is not None:
+                # gelu(0)=0, so only norm/bias products need re-zeroing, but a
+                # single multiply keeps the invariant obvious and fusable.
+                x = x * _time_mask(x.shape[1], l, x.dtype)
+        return x, l
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding. The fairseq weight-norm
+    reparameterization (g * v/||v||, dim=2) is composed into a single kernel
+    at checkpoint conversion; SamePad drops the trailing frame for the even
+    kernel."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        k = cfg.pos_conv_kernel
+        y = nn.Conv(
+            features=cfg.hidden_size,
+            kernel_size=(k,),
+            padding=[(k // 2, k // 2)],
+            feature_group_count=cfg.pos_conv_groups,
+            use_bias=True,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if k % 2 == 0:
+            y = y[:, :-1, :]
+        return jax.nn.gelu(y, approximate=False)
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN transformer block (fairseq TransformerSentenceEncoderLayer,
+    layer_norm_first=False)."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, deterministic: bool = True):
+        cfg = self.config
+        h = cfg.num_heads
+        d = cfg.hidden_size
+        head_dim = d // h
+        dense = partial(
+            nn.Dense, dtype=cfg.dtype, param_dtype=jnp.float32, use_bias=True
+        )
+        ln = partial(
+            nn.LayerNorm,
+            epsilon=cfg.layer_norm_eps,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+        )
+
+        residual = x
+        q = dense(d, name="q_proj")(x).reshape(x.shape[0], x.shape[1], h, head_dim)
+        k = dense(d, name="k_proj")(x).reshape(x.shape[0], x.shape[1], h, head_dim)
+        v = dense(d, name="v_proj")(x).reshape(x.shape[0], x.shape[1], h, head_dim)
+        if not deterministic and cfg.attention_dropout > 0.0:
+            # dropout on attention weights needs the einsum path
+            attn = mha_xla_dropout(
+                q,
+                k,
+                v,
+                key_mask,
+                rate=cfg.attention_dropout,
+                rng=self.make_rng("dropout"),
+            )
+        else:
+            attn = mha(q, k, v, key_mask=key_mask, impl=cfg.attention_impl)
+        attn = attn.reshape(x.shape[0], x.shape[1], d)
+        attn = dense(d, name="out_proj")(attn)
+        attn = nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
+        x = ln(name="self_attn_layer_norm")(residual + attn)
+
+        residual = x
+        y = dense(cfg.ffn_dim, name="fc1")(x)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dropout(cfg.activation_dropout)(y, deterministic=deterministic)
+        y = dense(d, name="fc2")(y)
+        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        x = ln(name="final_layer_norm")(residual + y)
+        if key_mask is not None:
+            x = x * key_mask.astype(x.dtype)[:, :, None]
+        return x
+
+
+class _ScannedLayer(nn.Module):
+    """scan body: carry = hidden states, per-step output = layer result."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x, key_mask, deterministic):
+        layer = EncoderLayer
+        if self.config.remat:
+            layer = nn.remat(EncoderLayer, static_argnums=(3,))
+            out = layer(self.config, name="layer")(x, key_mask, deterministic)
+        else:
+            out = layer(self.config, name="layer")(
+                x, key_mask=key_mask, deterministic=deterministic
+            )
+        return out, out
+
+
+class TransformerEncoder(nn.Module):
+    """pos-conv + LayerNorm + 12 scanned post-LN blocks; returns the stacked
+    [num_layers, B, T, C] layer results (= fairseq ``layer_results``, but
+    batch-major: the reference permutes each from [T,B,C] at
+    `nomad.py:248`)."""
+
+    config: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x, frame_lengths=None, deterministic: bool = True):
+        cfg = self.config
+        key_mask = None
+        if frame_lengths is not None:
+            key_mask = jnp.arange(x.shape[1])[None, :] < frame_lengths[:, None]
+            x = x * key_mask.astype(x.dtype)[:, :, None]
+
+        x = x + PositionalConvEmbedding(cfg, name="pos_conv")(x)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            name="layer_norm",
+        )(x)
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        if key_mask is not None:
+            x = x * key_mask.astype(x.dtype)[:, :, None]
+
+        scanned = nn.scan(
+            _ScannedLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=cfg.num_layers,
+        )(cfg, name="layers")
+        _, layer_outs = scanned(x, key_mask, deterministic)
+        return layer_outs  # [L, B, T, C]
+
+
+class Wav2Vec2Model(nn.Module):
+    """Full backbone. Returns dict with:
+      'x'             — final block output [B, T', 768] (== layers[-1];
+                        post-norm stack applies no final LayerNorm)
+      'layers'        — [num_layers, B, T', 768] stacked block outputs
+      'frame_lengths' — [B] valid frame counts (None when lengths is None)
+    """
+
+    config: Wav2Vec2Config = Wav2Vec2Config()
+
+    @nn.compact
+    def __call__(self, wav, lengths=None, deterministic: bool = True):
+        cfg = self.config
+        feats, frame_lengths = ConvFeatureEncoder(cfg, name="feature_encoder")(
+            wav, lengths
+        )
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            name="feature_layer_norm",
+        )(feats)
+        x = nn.Dense(
+            cfg.hidden_size,
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            name="post_extract_proj",
+        )(x)
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        if frame_lengths is not None:
+            x = x * _time_mask(x.shape[1], frame_lengths, x.dtype)
+        layer_outs = TransformerEncoder(cfg, name="encoder")(
+            x, frame_lengths, deterministic
+        )
+        return {
+            "x": layer_outs[-1],
+            "layers": layer_outs,
+            "frame_lengths": frame_lengths,
+        }
+
+
+def mha_xla_dropout(q, k, v, key_mask, rate, rng):
+    """Einsum attention with dropout on the softmax weights (training path,
+    matches fairseq MultiheadAttention dropout placement)."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / (head_dim**0.5)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if key_mask is not None:
+        scores = scores + jnp.where(key_mask, 0.0, -1e9)[:, None, None, :]
+    weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, weights.shape)
+    weights = jnp.where(keep, weights / (1.0 - rate), 0.0).astype(v.dtype)
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
