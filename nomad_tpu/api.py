@@ -1,0 +1,248 @@
+"""Public NOMAD API — the TPU-native equivalent of the reference ``Nomad``
+class (`/root/reference/src/nomad_audio/nomad.py:35-212`).
+
+Surface preserved:
+  * ``Nomad(device=None).predict(mode='dir'|'csv', nmr, deg, results_path)``
+    -> (df_avg, df_scores) pandas frames + CSVs in the reference format.
+  * ``Nomad.forward(estimate, clean)`` -> differentiable 13-layer perceptual
+    loss (use :meth:`loss_fn` for a pure function under jax.grad/jit).
+  * ``Nomad.get_embeddings(path)`` / ``get_embeddings_csv`` -> embedding
+    DataFrames.
+
+Differences by design (documented):
+  * lazy weight resolution, no import-time downloads (quirk Q1: the
+    reference downloads ~400 MB into ./pt-models at import). We look for
+    the same ``pt-models/{wav2vec_small,nomad_best_model}.pt`` files and
+    convert them on first use (cached as npz); in a zero-egress environment
+    without checkpoints, a seeded random init is used with a loud warning —
+    pipeline numerics stay exact, score *values* then differ from the
+    published model.
+  * inference is batched + length-bucketed on TPU instead of a batch-1
+    python loop; masked pooling keeps scores equal to unpadded batch-1.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .convert import canonicalize, load_torch_checkpoint, merge_into, to_flax_params
+from .models import NomadModel, Wav2Vec2Config, nomad_loss
+from .ops import cdist
+from .scoring.csvio import build_result_frames, write_results
+from .scoring.engine import EmbeddingEngine, list_dir_files
+
+W2V_FILENAME = "wav2vec_small.pt"
+NOMAD_FILENAME = "nomad_best_model.pt"
+CACHE_FILENAME = "nomad_tpu_params.npz"
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat):
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+class Nomad:
+    def __init__(
+        self,
+        device: Optional[str] = None,
+        weights_dir: str = "pt-models",
+        config: Optional[Wav2Vec2Config] = None,
+        emb_dim: int = 256,
+        params: Optional[dict] = None,
+        mesh=None,
+    ):
+        self.config = config or Wav2Vec2Config.base()
+        self.emb_dim = emb_dim
+        self.weights_dir = weights_dir
+        self.mesh = mesh
+        self.DEVICE = device or jax.default_backend()
+        print(f"NOMAD running on: {self.DEVICE}")
+
+        self.model = NomadModel(self.config, emb_dim=emb_dim)
+        self.params = params if params is not None else self._resolve_params()
+        self.engine = EmbeddingEngine(self.model, self.params, mesh=mesh)
+        self._loss_apply = None
+
+    # ---------------- weights ----------------
+
+    def _init_params(self):
+        wav = jnp.zeros((1, 4000), jnp.float32)
+        return self.model.init(jax.random.key(0), wav, method=NomadModel.init_all)
+
+    def _resolve_params(self) -> dict:
+        cache = os.path.join(self.weights_dir, CACHE_FILENAME)
+        if os.path.isfile(cache):
+            flat = dict(np.load(cache))
+            return {"params": _unflatten(flat)}
+        params = self._init_params()
+        nomad_path = os.path.join(self.weights_dir, NOMAD_FILENAME)
+        w2v_path = os.path.join(self.weights_dir, W2V_FILENAME)
+        loaded = False
+        if os.path.isfile(nomad_path):
+            sd = load_torch_checkpoint(nomad_path)
+            conv = to_flax_params(canonicalize(sd), self.config.num_layers,
+                                  len(self.config.conv_dim))
+            params = merge_into(params, conv)
+            loaded = True
+        elif os.path.isfile(w2v_path):
+            sd = load_torch_checkpoint(w2v_path)
+            conv = to_flax_params(canonicalize(sd), self.config.num_layers,
+                                  len(self.config.conv_dim))
+            params = merge_into(params, conv)
+            warnings.warn(
+                "loaded wav2vec_small.pt but nomad_best_model.pt is missing: "
+                "scoring head is randomly initialized"
+            )
+            loaded = True
+        else:
+            warnings.warn(
+                f"no checkpoints found under {self.weights_dir!r}; using a "
+                "seeded random init. Scores will NOT match the published "
+                "NOMAD model. Place wav2vec_small.pt + nomad_best_model.pt "
+                "there to enable real weights."
+            )
+        if loaded:
+            try:
+                os.makedirs(self.weights_dir, exist_ok=True)
+                np.savez(cache, **_flatten(params["params"]))
+            except OSError:
+                pass
+        return params
+
+    # ---------------- scoring ----------------
+
+    def predict(self, mode="dir", nmr="data/nmr-data", deg="data/test-data",
+                results_path=None):
+        if nmr is None:
+            raise Exception(
+                "nmr_path not specified, you need to pass a valid value to nmr_path"
+            )
+        if deg is None:
+            raise Exception(
+                "test_path not specified, you need to pass a valide value to test_path"
+            )
+        if mode == "dir":
+            if not os.path.isdir(nmr):
+                raise Exception(
+                    f"Path to the non-matching reference files {nmr} does not exist"
+                )
+            if not os.path.isdir(deg):
+                raise Exception(f"Path to the test files {deg} does not exist")
+        elif mode == "csv":
+            if not os.path.isfile(nmr):
+                raise Exception(f"File {nmr} does not exist")
+            if not os.path.isfile(deg):
+                raise Exception(f"File {deg} does not exist")
+        else:
+            raise Exception(
+                f"Mode value {mode} is not valid. Valid values are dir and csv"
+            )
+
+        print(f"Compute non-matching reference embeddings from {nmr}")
+        nmr_paths, nmr_emb = self._paths_and_embeddings(nmr)
+        print(f"Compute degraded embeddings from {deg}")
+        test_paths, test_emb = self._paths_and_embeddings(deg)
+
+        distance_matrix = np.asarray(cdist(test_emb, nmr_emb))
+        df_avg, df_dm = build_result_frames(test_paths, nmr_paths, distance_matrix)
+        write_results(df_avg, df_dm, results_path)
+        return df_avg, df_dm
+
+    def _paths_and_embeddings(self, path: str):
+        if os.path.isdir(path):
+            paths = list_dir_files(path)
+        elif os.path.isfile(path):
+            data = pd.read_csv(path)
+            if "filename" not in data.columns:
+                raise Exception(
+                    f"File {path} not including a column called filename. Please "
+                    "pass a csv file with a column called filename that includes "
+                    "the absolute filpaths of the waveforms."
+                )
+            paths = list(data["filename"])
+        else:
+            raise Exception(f"Path {path} does not exist")
+        emb = self.engine.embed_files(paths, progress=True)
+        return paths, emb
+
+    def get_embeddings(self, path: str) -> pd.DataFrame:
+        """Reference `nomad.py:148-164`: DataFrame with 'filename' + one
+        column per embedding dim."""
+        paths, emb = self._paths_and_embeddings(path)
+        df = pd.DataFrame(emb)
+        df.insert(0, "filename", paths)
+        return df
+
+    def get_embeddings_csv(
+        self, file_names: pd.Series | list, root: str | bool = False
+    ) -> pd.DataFrame:
+        """Reference `nomad.py:166-189` (shared with train_triplet.py:203)."""
+        names = list(file_names)
+        paths = [os.path.join(root, f) if root else f for f in names]
+        emb = self.engine.embed_files(paths, progress=True)
+        df_emb = pd.DataFrame(emb)
+        col = getattr(file_names, "name", None) or "filename"
+        df_emb.insert(0, col, names)
+        return df_emb
+
+    # ---------------- differentiable loss ----------------
+
+    def loss_fn(self, estimate, clean, deterministic: bool = True):
+        """Pure differentiable NOMAD perceptual loss (use under jax.grad).
+
+        estimate/clean: [B, T] or [B, 1, T] waveforms (reference squeezes
+        dim 1 at `nomad.py:224,242`). Sum of 13 per-layer L1 distances.
+        """
+        if estimate.ndim == 3:
+            estimate = estimate.squeeze(1)
+        if clean.ndim == 3:
+            clean = clean.squeeze(1)
+        est_layers = self.model.apply(
+            self.params, estimate, deterministic=deterministic,
+            method=NomadModel.forward_layers,
+        )
+        clean_layers = self.model.apply(
+            self.params, clean, deterministic=deterministic,
+            method=NomadModel.forward_layers,
+        )
+        return nomad_loss(clean_layers, est_layers)
+
+    def forward(self, estimate, clean):
+        """Reference `nomad.py:142-146` (jitted on first call)."""
+        if self._loss_apply is None:
+            self._loss_apply = jax.jit(lambda e, c: self.loss_fn(e, c))
+        return self._loss_apply(jnp.asarray(estimate), jnp.asarray(clean))
+
+
+_singleton: Optional[Nomad] = None
+
+
+def get_nomad(**kwargs) -> Nomad:
+    global _singleton
+    if _singleton is None:
+        _singleton = Nomad(**kwargs)
+    return _singleton

@@ -1,0 +1,210 @@
+"""Triplet data pipeline — TPU-native equivalent of
+`/root/reference/src/dataloader/triplet_dataloader.py`.
+
+Reference behavior preserved:
+  * CSV with columns db,Anchor,Positive,Negative (+distances); ``db`` level
+    filter via ``current_level`` (`triplet_dataloader.py:41-42`), duplicate
+    rows dropped.
+  * Path join quirk Q9: ``os.path.join(root + name)`` is string concat —
+    configs carry a trailing '/'; we reproduce that exact composition.
+  * per-item load/mono/resample/10 s-trim (`load_processing`).
+  * per-batch zero-padding to the batch max (`zero_pad_wav`, :74-84).
+
+TPU-first changes:
+  * the padded batch length is rounded UP to a power-of-two bucket so XLA
+    sees a bounded set of static shapes (SURVEY §8 hard-part (b)); true
+    lengths ride along for masked pooling.
+  * decode/resample runs in a host thread pool that prefetches the next
+    batch while the TPU steps (the reference used torch DataLoader worker
+    processes; threads suffice since the decode path is numpy).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from ..io import load_processing
+from ..scoring.engine import bucket_length
+
+
+@dataclass
+class TripletBatch:
+    anchor: np.ndarray  # [B, T]
+    positive: np.ndarray
+    negative: np.ndarray
+    lengths_a: np.ndarray  # [B] int32
+    lengths_p: np.ndarray
+    lengths_n: np.ndarray
+
+
+class TripletDataset:
+    def __init__(self, config: dict, data_mode: str = "train_df", level=None):
+        self.config = config
+        self.root = config["root"]
+        self.dataset = pd.read_csv(config[data_mode])
+        if level is not None:
+            self.dataset = self.dataset[self.dataset["db"].isin(level)]
+        self.dataset = self.dataset.drop_duplicates().reset_index(drop=True)
+        self.trim = bool(config.get("trim", False))
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def item_paths(self, index: int) -> tuple[str, str, str]:
+        row = self.dataset.iloc[index]
+        # Q9: string concatenation, not os.path.join semantics
+        return (
+            os.path.join(self.root + row["Anchor"]),
+            os.path.join(self.root + row["Positive"]),
+            os.path.join(self.root + row["Negative"]),
+        )
+
+    def load_item(self, index: int):
+        a, p, n = self.item_paths(index)
+        return (
+            load_processing(a, trim=self.trim)[0],
+            load_processing(p, trim=self.trim)[0],
+            load_processing(n, trim=self.trim)[0],
+        )
+
+
+def pad_group(waves: Sequence[np.ndarray], pad_to: Optional[int] = None):
+    lengths = np.array([len(w) for w in waves], np.int32)
+    max_len = int(lengths.max())
+    target = pad_to if pad_to is not None else max_len
+    out = np.zeros((len(waves), target), np.float32)
+    for i, w in enumerate(waves):
+        out[i, : len(w)] = w
+    return out, lengths
+
+
+def collate_triplets(
+    items, bucket: bool = True
+) -> TripletBatch:
+    """Zero-pad A/P/N groups; with bucket=True the padded length is the
+    power-of-two bucket of the batch max (shared across A/P/N so the three
+    forwards reuse one compiled shape)."""
+    a_w, p_w, n_w = zip(*items)
+    max_len = max(max(len(w) for w in g) for g in (a_w, p_w, n_w))
+    target = bucket_length(max_len) if bucket else max_len
+    a, la = pad_group(a_w, target)
+    p, lp = pad_group(p_w, target)
+    n, ln = pad_group(n_w, target)
+    return TripletBatch(a, p, n, la, lp, ln)
+
+
+class TripletLoader:
+    """Iterates TripletBatches with seeded shuffling and background
+    prefetch."""
+
+    def __init__(
+        self,
+        dataset: TripletDataset,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        num_threads: int = 6,
+        bucket: bool = True,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = num_threads
+        self.bucket = bucket
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return math.ceil(n / self.batch_size)
+
+    def _batches_indices(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        nb = len(self)
+        return [
+            idx[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+
+    def __iter__(self) -> Iterator[TripletBatch]:
+        batches = self._batches_indices()
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def producer():
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
+                for b in batches:
+                    items = list(ex.map(self.dataset.load_item, b))
+                    q.put(collate_triplets(items, bucket=self.bucket))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+
+class PairedAudioDataset:
+    """noisy/clean paired dataset for the SE demo — reference
+    ``AudioDataset`` (`nomad_loss_test.py:158-207`): files matched by name,
+    fixed 16384-sample crop/pad."""
+
+    FIXED_LEN = 16384
+
+    def __init__(self, noisy_dir: str, clean_dir: str, target_sr: int = 16000):
+        self.noisy_dir = noisy_dir
+        self.clean_dir = clean_dir
+        self.noisy = sorted(os.listdir(noisy_dir))
+        self.target_sr = target_sr
+
+    def __len__(self):
+        return len(self.noisy)
+
+    def load_item(self, idx: int):
+        name = self.noisy[idx]
+        clean_path = os.path.join(self.clean_dir, name)
+        noisy_path = os.path.join(self.noisy_dir, name)
+        if not os.path.isfile(clean_path):
+            raise AssertionError(f"clean file missing for {name}")
+        n = load_processing(noisy_path, target_sr=self.target_sr)[0]
+        c = load_processing(clean_path, target_sr=self.target_sr)[0]
+        return self._fix(n), self._fix(c)
+
+    def _fix(self, w: np.ndarray) -> np.ndarray:
+        if len(w) < self.FIXED_LEN:
+            return np.pad(w, (0, self.FIXED_LEN - len(w)))
+        return w[: self.FIXED_LEN]
+
+    def batches(self, batch_size: int, shuffle: bool, seed: int = 0):
+        idx = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(idx)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            for s in range(0, len(idx), batch_size):
+                chunk = idx[s : s + batch_size]
+                items = list(ex.map(self.load_item, chunk))
+                noisy = np.stack([a for a, _ in items])
+                clean = np.stack([b for _, b in items])
+                yield noisy, clean

@@ -1,0 +1,238 @@
+"""Speech-enhancement demo: Wave-U-Net trained with MSE + NOMAD perceptual
+loss — TPU-native equivalent of `/root/reference/src/nomad_audio/
+nomad_loss_test.py:33-156` (the reference's end-to-end example of
+``nomad.forward`` as an auxiliary loss; BASELINE config 3).
+
+Semantics preserved: loss = mse(est, clean) + nomad_weight * nomad(est,
+clean) (:69), Adam(lr), Valentini-style paired noisy/clean dirs, fixed
+16384-sample windows, early stopping + best checkpoint, periodic test-set
+quality eval every ``test_every`` epochs (:96-108).
+
+Notes:
+  * the reference evaluates with the PESQ C extension; it is not in this
+    image, so ``test()`` uses PESQ when importable and otherwise reports
+    SI-SDR (clearly labeled) — the training path is identical either way.
+  * the whole train step (U-Net fwd + 13-layer NOMAD loss + backward +
+    adam) is one jitted XLA program; NOMAD params are captured as constants
+    and only U-Net params receive gradients (matching the wheel's frozen
+    lossnet, quirk Q7/`nomad.py:74-76`).
+  * divergence (documented): the reference never calls
+    ``lossnet_layers.eval()``, so torch dropout is active inside its loss;
+    we default to deterministic=True (set ``loss_dropout: true`` to match
+    the reference's accidental behavior).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+
+from ..models import NomadModel, Wav2Vec2Config, nomad_loss
+from ..models.waveunet import WaveUNet
+from .data import PairedAudioDataset
+
+
+def si_sdr(estimate: np.ndarray, clean: np.ndarray, eps: float = 1e-8) -> float:
+    """Scale-invariant SDR in dB (fallback quality metric when the PESQ C
+    extension is unavailable)."""
+    est = estimate.reshape(estimate.shape[0], -1)
+    ref = clean.reshape(clean.shape[0], -1)
+    ref_energy = np.sum(ref * ref, axis=-1, keepdims=True) + eps
+    proj = (np.sum(est * ref, axis=-1, keepdims=True) / ref_energy) * ref
+    noise = est - proj
+    ratio = (np.sum(proj**2, axis=-1) + eps) / (np.sum(noise**2, axis=-1) + eps)
+    return float(np.mean(10.0 * np.log10(ratio)))
+
+
+def _try_pesq_batch(sr, ref, deg):
+    try:
+        from pesq import pesq_batch
+
+        scores = pesq_batch(fs=sr, ref=ref, deg=deg, mode="wb")
+        return float(np.mean([x for x in np.asarray(scores).ravel()
+                              if isinstance(x, float) or np.isreal(x)]))
+    except ImportError:
+        return None
+
+
+class SpeechEnhancement:
+    def __init__(self, config, nomad=None, model_config: Wav2Vec2Config | None = None):
+        if isinstance(config, str):
+            with open(config) as f:
+                config = yaml.load(f, Loader=yaml.FullLoader)
+        self.config = config
+        self.sr = int(config.get("target_sr", 16000))
+
+        if nomad is None:
+            from ..api import get_nomad
+
+            nomad = get_nomad(config=model_config)
+        self.nomad = nomad
+        self.nomad_weight = float(config.get("nomad_weight", 0.001))
+        self.loss_dropout = bool(config.get("loss_dropout", False))
+
+        self.unet = WaveUNet(n_layers=int(config.get("n_layers", 12)))
+        rng = jax.random.key(0)
+        dummy = jnp.zeros((1, PairedAudioDataset.FIXED_LEN), jnp.float32)
+        variables = self.unet.init(rng, dummy, train=False)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+
+        self.tx = optax.adam(float(config.get("lr", 1e-4)))
+        self.opt_state = self.tx.init(self.params)
+        self._step = None
+        self._eval_step = None
+        self._infer = None
+
+        def mkset(noisy_key, clean_key):
+            return PairedAudioDataset(config[noisy_key], config[clean_key], self.sr)
+
+        self.train_set = mkset("noisy_train_dir", "clean_train_dir")
+        self.valid_set = mkset("noisy_valid_dir", "clean_valid_dir")
+        self.test_set = mkset("noisy_test_dir", "clean_test_dir")
+
+    # ------------- jitted steps -------------
+
+    def _loss(self, params, batch_stats, noisy, clean, rng):
+        est, mutated = self.unet.apply(
+            {"params": params, "batch_stats": batch_stats},
+            noisy, train=True, mutable=["batch_stats"],
+        )
+        mse = jnp.mean((est - clean) ** 2)
+        if self.loss_dropout:
+            nl = self.nomad.loss_fn(est, clean, deterministic=False)
+        else:
+            nl = self.nomad.loss_fn(est, clean)
+        return mse + self.nomad_weight * nl, mutated["batch_stats"]
+
+    def _get_step(self):
+        if self._step is None:
+            def step(params, batch_stats, opt_state, noisy, clean, rng):
+                (loss, new_bs), grads = jax.value_and_grad(
+                    self._loss, has_aux=True
+                )(params, batch_stats, noisy, clean, rng)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, new_bs, opt_state, loss
+
+            self._step = jax.jit(step, donate_argnums=(0, 1, 2))
+        return self._step
+
+    def _get_eval_step(self):
+        if self._eval_step is None:
+            def estep(params, batch_stats, noisy, clean):
+                est = self.unet.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    noisy, train=False,
+                )
+                mse = jnp.mean((est - clean) ** 2)
+                return mse + self.nomad_weight * self.nomad.loss_fn(est, clean)
+
+            self._eval_step = jax.jit(estep)
+        return self._eval_step
+
+    def enhance(self, noisy):
+        if self._infer is None:
+            self._infer = jax.jit(
+                lambda p, bs, x: self.unet.apply(
+                    {"params": p, "batch_stats": bs}, x, train=False
+                )
+            )
+        return self._infer(self.params, self.batch_stats, jnp.asarray(noisy))
+
+    # ------------- epochs -------------
+
+    def train(self, seed: int = 0) -> float:
+        step = self._get_step()
+        key = jax.random.key(seed)
+        total, nb = 0.0, 0
+        for noisy, clean in self.train_set.batches(
+            int(self.config.get("train_bs", 32)), shuffle=True, seed=seed
+        ):
+            key, sub = jax.random.split(key)
+            self.params, self.batch_stats, self.opt_state, loss = step(
+                self.params, self.batch_stats, self.opt_state,
+                jnp.asarray(noisy), jnp.asarray(clean), sub,
+            )
+            total += float(loss)
+            nb += 1
+        return total / max(nb, 1)
+
+    def eval(self) -> float:
+        estep = self._get_eval_step()
+        total, nb = 0.0, 0
+        for noisy, clean in self.valid_set.batches(
+            int(self.config.get("valid_bs", 100)), shuffle=False
+        ):
+            total += float(estep(self.params, self.batch_stats,
+                                 jnp.asarray(noisy), jnp.asarray(clean)))
+            nb += 1
+        return total / max(nb, 1)
+
+    def test(self) -> dict:
+        """PESQ-wb when available, else SI-SDR (labeled)."""
+        ests, cleans = [], []
+        for noisy, clean in self.test_set.batches(
+            int(self.config.get("test_bs", 100)), shuffle=False
+        ):
+            ests.append(np.asarray(self.enhance(noisy)))
+            cleans.append(clean)
+        est = np.concatenate(ests)
+        clean = np.concatenate(cleans)
+        pesq = _try_pesq_batch(self.sr, clean, est)
+        if pesq is not None:
+            return {"metric": "pesq_wb", "value": pesq}
+        return {"metric": "si_sdr_db", "value": si_sdr(est, clean)}
+
+    def training_loop(self):
+        config = self.config
+        dt_string = datetime.now().strftime("%d-%m-%Y_%H-%M-%S")
+        self.PATH_DIR = os.path.join("se_models", dt_string)
+        os.makedirs(self.PATH_DIR, exist_ok=True)
+        with open(os.path.join(self.PATH_DIR, "config.yaml"), "w") as f:
+            yaml.dump(config, f)
+
+        best_valid_loss = np.inf
+        counter = 0
+        for i in range(int(config.get("num_epochs", 99))):
+            print("\n")
+            train_loss = self.train(seed=i)
+            valid_loss = self.eval()
+            if valid_loss < best_valid_loss:
+                self.save(os.path.join(self.PATH_DIR, "best_model.npz"))
+                best_valid_loss = valid_loss
+                print("Saved Weights Success")
+                counter = 0
+            else:
+                counter += 1
+            print(f"COUNTER:  {counter}/{config.get('patience')}")
+            if counter > int(config.get("patience", 50)):
+                print("Stop training, counter greater than patience")
+                break
+            print(f"EPOCHS: {i+1} train_loss : {train_loss}")
+            print(f"EPOCHS: {i+1} valid_loss : {valid_loss}")
+            if (i + 1) % int(config.get("test_every", 10)) == 0:
+                print("Test set evaluation")
+                res = self.test()
+                print(f"EPOCHS: {i+1} {res['metric']} : {res['value']}")
+
+    def save(self, path: str):
+        from ..api import _flatten
+
+        flat = _flatten({"params": jax.device_get(self.params),
+                         "batch_stats": jax.device_get(self.batch_stats)})
+        np.savez(path, **flat)
+
+    def load(self, path: str):
+        from ..api import _unflatten
+
+        tree = _unflatten(dict(np.load(path)))
+        self.params = tree["params"]
+        self.batch_stats = tree.get("batch_stats", {})

@@ -1,0 +1,617 @@
+"""Triplet fine-tuning + the four evaluation experiments — TPU-native
+equivalent of `/root/reference/src/training/train_triplet.py:43-489`.
+
+Reference semantics preserved:
+  * TripletMarginLoss(margin) with torch pairwise-distance eps
+    (`train_triplet.py:95`), Adam, two LR groups when ``freeze_convnet``
+    (backbone 1e-5, embedding head config lr — :99-107).
+  * Freeze policy (:73-80): ``freeze_convnet`` freezes the conv feature
+    extractor; ``freeze_all`` additionally freezes the transformer encoder
+    (note: fairseq's ``post_extract_proj``/feature LayerNorm hang directly
+    off the model, not under ``encoder``, so they stay trainable — we keep
+    that exact behavior).
+  * Quirk Q10: ExponentialLR steps only when
+    ``(no_improve_counter + 1) % lr_decay_step == 0`` (:185-186).
+  * Early stopping on validation loss with patience; best-model checkpoint
+    + exact-config dump (:154-199).
+  * Experiments: eval_audio_quality (SRCC/PCC + 3rd-order MOS map),
+    eval_degr_level, eval_degradation_intensity, eval_full_reference
+    (:231-474), including the eval_w2v raw-feature ablation.
+
+TPU-first design:
+  * one jitted train step per static batch shape (bucketed padding) doing
+    3 forwards + triplet loss + adam update on device; dropout active like
+    the reference's model.train().
+  * optional 'data'-axis mesh: batch sharded across chips, XLA inserts the
+    gradient all-reduce (the reference is single-device only, SURVEY §2.4).
+  * upgrade over the reference: optimizer/epoch state is checkpointed too,
+    so training can resume (the reference loses everything on crash,
+    SURVEY §5.3/5.4).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+import yaml
+
+from ..convert import canonicalize, load_torch_checkpoint, merge_into, to_flax_params
+from ..models import NomadModel, Wav2Vec2Config
+from ..ops import cdist, cdist_diag
+from ..parallel.mesh import batch_sharding, replicated
+from ..scoring.engine import EmbeddingEngine, list_dir_files
+from ..utils.metrics import correlation_report, fit_order_three, srcc
+from .data import TripletDataset, TripletLoader
+from .losses import triplet_margin_loss
+
+
+def param_labels(params_tree, freeze_convnet: bool, freeze_all: bool):
+    """Label every param leaf 'head' | 'backbone' | 'frozen' (reference
+    freeze policy, train_triplet.py:73-80 + :99-107)."""
+
+    def label_of(path: str) -> str:
+        if path.startswith("embedding/"):
+            return "head"
+        if path.startswith("lossnet_embedding/"):
+            return "frozen"  # loss-path head is not part of TripletModel training
+        if "feature_encoder" in path and (freeze_convnet or freeze_all):
+            return "frozen"
+        if freeze_all and "/encoder/" in path:
+            return "frozen"
+        return "backbone"
+
+    flat = jax.tree_util.tree_flatten_with_path(params_tree)[0]
+
+    def mk(tree, prefix=""):
+        return {
+            k: (
+                mk(v, f"{prefix}{k}/")
+                if isinstance(v, dict)
+                else label_of(f"{prefix}{k}")
+            )
+            for k, v in tree.items()
+        }
+
+    del flat
+    return mk(params_tree)
+
+
+def _scale_updates(updates, labels, lr_backbone, lr_head):
+    def f(u, lab):
+        if lab == "frozen":
+            return u  # already zero from set_to_zero
+        lr = lr_backbone if lab == "backbone" else lr_head
+        return u * (-lr)
+
+    return jax.tree_util.tree_map(
+        f, updates, labels, is_leaf=lambda x: isinstance(x, str)
+    )
+
+
+class Training:
+    """Config-compatible with the reference train_triplet.yaml /
+    eval_triplet.yaml (SURVEY §5.6)."""
+
+    def __init__(self, config_file, mesh=None, params=None,
+                 model_config: Optional[Wav2Vec2Config] = None):
+        if isinstance(config_file, dict):
+            self.config = dict(config_file)
+        else:
+            with open(config_file) as f:
+                self.config = yaml.load(f, Loader=yaml.FullLoader)
+        cfg = self.config
+        self.mesh = mesh
+        self.DEVICE = jax.default_backend()
+        print(f"Device: {self.DEVICE}")
+
+        self.model_config = model_config or Wav2Vec2Config.base()
+        self.emb_dim = int(cfg.get("emb_dim", 256))
+        self.eval_w2v = bool(cfg.get("eval_w2v", False))
+        self.masked_pool = bool(cfg.get("masked_pool", True))
+        self.model = NomadModel(
+            self.model_config, emb_dim=self.emb_dim, masked_pool=self.masked_pool
+        )
+        self.params = params if params is not None else self._load_params(cfg)
+        self.labels = None
+        self.tx = None
+        self._step_cache: dict = {}
+        self._eval_cache: dict = {}
+
+        if cfg.get("experiment_name") == "Training":
+            self.current_level = cfg.get("current_level")
+            self.train_set = TripletDataset(cfg, "train_df", level=self.current_level)
+            self.valid_set = TripletDataset(cfg, "valid_df", level=self.current_level)
+            self.train_loader = TripletLoader(
+                self.train_set, cfg["train_bs"], shuffle=True,
+                num_threads=cfg.get("num_workers", 6),
+            )
+            self.valid_loader = TripletLoader(
+                self.valid_set, cfg["val_bs"], shuffle=False,
+                num_threads=cfg.get("num_workers", 6),
+            )
+            self.margin = float(cfg.get("margin", 0.2))
+            self._build_optimizer()
+
+    # ------------- params / optimizer -------------
+
+    def _load_params(self, cfg) -> dict:
+        wav = jnp.zeros((1, 4000), jnp.float32)
+        params = self.model.init(jax.random.key(0), wav, method=NomadModel.init_all)
+        ckpt = cfg.get("checkpoint_path")
+        if ckpt and os.path.isfile(ckpt):
+            if ckpt.endswith(".npz"):
+                from ..api import _unflatten
+
+                params = {"params": _unflatten(dict(np.load(ckpt)))}
+            else:
+                conv = to_flax_params(
+                    canonicalize(load_torch_checkpoint(ckpt)),
+                    self.model_config.num_layers,
+                    len(self.model_config.conv_dim),
+                )
+                params = merge_into(params, conv)
+        return params
+
+    def _build_optimizer(self):
+        cfg = self.config
+        freeze_convnet = bool(cfg.get("freeze_convnet", False))
+        freeze_all = bool(cfg.get("freeze_all", False))
+        self.labels = {
+            "params": param_labels(self.params["params"], freeze_convnet, freeze_all)
+        }
+        self.tx = optax.multi_transform(
+            {
+                "frozen": optax.set_to_zero(),
+                "backbone": optax.scale_by_adam(),
+                "head": optax.scale_by_adam(),
+            },
+            self.labels,
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.lr_head = float(cfg.get("lr", 1e-4))
+        # two-group recipe (train_triplet.py:99-107): backbone 1e-5 when the
+        # convnet is frozen, else single LR for everything
+        self.lr_backbone = 1e-5 if freeze_convnet else self.lr_head
+        self.gamma = float(cfg.get("lr_decay_factor", 0.99))
+        self.lr_decay_step = int(cfg.get("lr_decay_step", 30))
+
+    # ------------- jitted steps -------------
+
+    def _get_step(self, shape):
+        fn = self._step_cache.get(shape)
+        if fn is None:
+            model = self.model
+            tx = self.tx
+            labels = self.labels
+            margin = self.margin
+            masked = self.masked_pool
+
+            def embed(p, w, l, rng):
+                return model.apply(
+                    p, w, lengths=l if masked else None,
+                    deterministic=False, rngs={"dropout": rng},
+                )
+
+            def step(params, opt_state, a, p_, n, la, lp, ln, lr_b, lr_h, rng):
+                def loss_fn(prm):
+                    ka, kp, kn = jax.random.split(rng, 3)
+                    ea = embed(prm, a, la, ka)
+                    ep = embed(prm, p_, lp, kp)
+                    en = embed(prm, n, ln, kn)
+                    return triplet_margin_loss(ea, ep, en, margin)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                updates = _scale_updates(updates, labels, lr_b, lr_h)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
+
+            if self.mesh is not None:
+                bs = batch_sharding(self.mesh)
+                rep = replicated(self.mesh)
+                fn = jax.jit(
+                    step,
+                    in_shardings=(rep, rep, bs, bs, bs, bs, bs, bs, rep, rep, rep),
+                    out_shardings=(rep, rep, rep),
+                    donate_argnums=(0, 1),
+                )
+            else:
+                fn = jax.jit(step, donate_argnums=(0, 1))
+            self._step_cache[shape] = fn
+        return fn
+
+    def _get_eval_step(self, shape):
+        fn = self._eval_cache.get(shape)
+        if fn is None:
+            model = self.model
+            margin = self.margin
+            masked = self.masked_pool
+
+            def step(params, a, p_, n, la, lp, ln):
+                def embed(w, l):
+                    return model.apply(params, w, lengths=l if masked else None)
+
+                return triplet_margin_loss(
+                    embed(a, la), embed(p_, lp), embed(n, ln), margin
+                )
+
+            if self.mesh is not None:
+                bs = batch_sharding(self.mesh)
+                rep = replicated(self.mesh)
+                fn = jax.jit(
+                    step,
+                    in_shardings=(rep, bs, bs, bs, bs, bs, bs),
+                    out_shardings=rep,
+                )
+            else:
+                fn = jax.jit(step)
+            self._eval_cache[shape] = fn
+        return fn
+
+    # ------------- epoch loops -------------
+
+    def train(self, loader=None, rng_seed: int = 0) -> float:
+        loader = loader or self.train_loader
+        total = 0.0
+        nb = 0
+        key = jax.random.key(rng_seed)
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            shape = batch.anchor.shape
+            fn = self._get_step(shape)
+            self.params, self.opt_state, loss = fn(
+                self.params, self.opt_state,
+                jnp.asarray(batch.anchor), jnp.asarray(batch.positive),
+                jnp.asarray(batch.negative),
+                jnp.asarray(batch.lengths_a), jnp.asarray(batch.lengths_p),
+                jnp.asarray(batch.lengths_n),
+                jnp.float32(self.lr_backbone), jnp.float32(self.lr_head), sub,
+            )
+            total += float(loss)
+            nb += 1
+        return total / max(nb, 1)
+
+    def eval(self, loader=None) -> float:
+        loader = loader or self.valid_loader
+        total = 0.0
+        nb = 0
+        for batch in loader:
+            fn = self._get_eval_step(batch.anchor.shape)
+            loss = fn(
+                self.params,
+                jnp.asarray(batch.anchor), jnp.asarray(batch.positive),
+                jnp.asarray(batch.negative),
+                jnp.asarray(batch.lengths_a), jnp.asarray(batch.lengths_p),
+                jnp.asarray(batch.lengths_n),
+            )
+            total += float(loss)
+            nb += 1
+        return total / max(nb, 1)
+
+    def training_loop(self):
+        cfg = self.config
+        dt_string = datetime.now().strftime("%d-%m-%Y_%H-%M-%S")
+        self.PATH_DIR = os.path.join("out-models", cfg.get("out_dir", "train-triplet"),
+                                     dt_string)
+        os.makedirs(self.PATH_DIR, exist_ok=True)
+        with open(os.path.join(self.PATH_DIR, "config.yaml"), "w") as f:
+            yaml.dump(cfg, f)
+
+        best_valid_loss = np.inf
+        counter = 0
+        start_epoch = 0
+        state = self._load_resume_state()
+        if state is not None:
+            best_valid_loss, counter, start_epoch = state
+            print(f"Resuming from epoch {start_epoch}")
+
+        for i in range(start_epoch, int(cfg.get("num_epochs", 50))):
+            train_loss = self.train(rng_seed=i)
+            valid_loss = self.eval()
+
+            if valid_loss < best_valid_loss:
+                self.save_checkpoint(os.path.join(self.PATH_DIR, "best_model.npz"))
+                best_valid_loss = valid_loss
+                print("Saved Weights Success")
+                counter = 0
+            else:
+                counter += 1
+
+            # Q10: decay tied to the stagnation counter, not the epoch index
+            if (counter + 1) % self.lr_decay_step == 0:
+                self.lr_head *= self.gamma
+                self.lr_backbone *= self.gamma
+
+            self._save_resume_state(best_valid_loss, counter, i + 1)
+            print(f"COUNTER:  {counter}/{cfg.get('patience')}")
+            print(f"LR: [{self.lr_backbone}, {self.lr_head}]")
+            if counter > int(cfg.get("patience", 20)):
+                print("Stop training, counter greater than patience")
+                break
+            print(f"EPOCHS: {i+1} train_loss : {train_loss}")
+            print(f"EPOCHS: {i+1} valid_loss : {valid_loss}")
+            print("\n")
+
+    # ------------- checkpointing (params + resume state) -------------
+
+    def save_checkpoint(self, path: str):
+        from ..api import _flatten
+
+        np.savez(path, **_flatten(jax.device_get(self.params["params"])))
+
+    def load_checkpoint(self, path: str):
+        from ..api import _unflatten
+
+        if path.endswith(".npz"):
+            self.params = {"params": _unflatten(dict(np.load(path)))}
+        else:
+            conv = to_flax_params(
+                canonicalize(load_torch_checkpoint(path)),
+                self.model_config.num_layers, len(self.model_config.conv_dim),
+            )
+            wav = jnp.zeros((1, 4000), jnp.float32)
+            base = self.model.init(jax.random.key(0), wav, method=NomadModel.init_all)
+            self.params = merge_into(base, conv)
+
+    def _save_resume_state(self, best, counter, next_epoch):
+        np.savez(
+            os.path.join(self.PATH_DIR, "resume_state.npz"),
+            best=best, counter=counter, next_epoch=next_epoch,
+            lr_head=self.lr_head, lr_backbone=self.lr_backbone,
+        )
+        self.save_checkpoint(os.path.join(self.PATH_DIR, "last_model.npz"))
+
+    def _load_resume_state(self):
+        if not self.config.get("resume"):
+            return None
+        path = os.path.join(self.PATH_DIR, "resume_state.npz")
+        if not os.path.isfile(path):
+            return None
+        st = np.load(path)
+        self.lr_head = float(st["lr_head"])
+        self.lr_backbone = float(st["lr_backbone"])
+        self.load_checkpoint(os.path.join(self.PATH_DIR, "last_model.npz"))
+        return float(st["best"]), int(st["counter"]), int(st["next_epoch"])
+
+    # ------------- embedding helpers for evals -------------
+
+    def _engine(self) -> EmbeddingEngine:
+        return EmbeddingEngine(self.model, self.params, mesh=self.mesh)
+
+    def _embed_fn(self):
+        """Scoring function respecting eval_w2v (Origw2v ablation,
+        train_triplet.py:67-69)."""
+        engine = self._engine()
+        if not self.eval_w2v:
+            return engine
+
+        class _FeatureEngine(EmbeddingEngine):
+            def _get_fn(self, batch, length):
+                key = (batch, length)
+                fn = self._jitted.get(key)
+                if fn is None:
+                    fn = jax.jit(
+                        lambda p, w, l: self.model.apply(
+                            p, w, lengths=l, method=NomadModel.forward_features
+                        )
+                    )
+                    self._jitted[key] = fn
+                return fn
+
+        return _FeatureEngine(self.model, self.params, mesh=self.mesh)
+
+    def get_embeddings_csv(self, file_names, root=False) -> pd.DataFrame:
+        engine = self._embed_fn()
+        names = list(file_names)
+        paths = [os.path.join(root, f) if root else f for f in names]
+        emb = engine.embed_files(paths, progress=True)
+        df = pd.DataFrame(emb)
+        col = getattr(file_names, "name", None) or "filename"
+        df.insert(0, col, names)
+        return df
+
+    def get_nmr_embeddings(self) -> pd.DataFrame:
+        ref_files = pd.DataFrame(os.listdir(self.config["non_match_dir"]))
+        ref_files.columns = ["reference"]
+        ref_files["reference"] = [
+            os.path.join(self.config["non_match_dir"], x)
+            for x in ref_files["reference"]
+        ]
+        return self.get_embeddings_csv(ref_files["reference"])
+
+    @staticmethod
+    def euclidean_dist(emb_a, emb_b):
+        """Naive cross-check, as the reference keeps
+        (`train_triplet.py:486-489`)."""
+        d = np.asarray(emb_a) - np.asarray(emb_b)
+        return np.sqrt(np.dot(d, d.T))
+
+    # ------------- evaluation experiments -------------
+
+    def eval_audio_quality(self, model_path, plot: bool = True) -> dict:
+        """quality_nmr (`train_triplet.py:231-303`): per-db grouped
+        distance-vs-MOS correlations with 3rd-order mapping."""
+        if not self.eval_w2v and model_path:
+            self.load_checkpoint(model_path)
+        cfg = self.config
+        test_data = pd.read_csv(cfg["test_db_file"])
+        if cfg.get("db") is not None:
+            test_data = test_data[test_data["db"].isin(cfg["db"])]
+        if cfg.get("conds") is not None:
+            conds = cfg["conds"]
+            test_data = test_data[
+                test_data["condition"].str.contains("|".join(conds))
+            ]
+
+        ref_embeddings = self.get_nmr_embeddings().set_index("reference")
+        results = {}
+        for db_name, db in test_data.groupby("db"):
+            df_emb = self.get_embeddings_csv(
+                db["filepath_deg"], root=cfg.get("test_root_wav")
+            )
+            test_embeddings = df_emb.set_index("filepath_deg")
+            test_names = df_emb.merge(db, on="filepath_deg")[
+                ["filepath_deg", "condition", "mos"]
+            ]
+            dist = np.asarray(
+                cdist(test_embeddings.to_numpy(), ref_embeddings.to_numpy())
+            )
+            avg_dist = dist.mean(axis=1)
+            df_dist = pd.DataFrame(
+                {"filepath_deg": test_embeddings.index, "Distance": avg_dist}
+            ).merge(test_names, on="filepath_deg").set_index("filepath_deg")
+            df_dist = df_dist.groupby("condition").mean()
+
+            report = correlation_report(df_dist["Distance"], df_dist["mos"])
+            results[db_name] = report
+            for k, v in report.items():
+                print(f"{db_name} {k}: {np.round(v, 2)}")
+            if plot:
+                self._scatter(
+                    df_dist["mos"],
+                    fit_order_three(df_dist["Distance"], df_dist["mos"])(
+                        df_dist["Distance"]
+                    ),
+                    f"{db_name}_embeddings.png",
+                )
+        return results
+
+    def eval_degr_level(self, model_path, plot: bool = True) -> pd.DataFrame:
+        """valid_rank (`train_triplet.py:305-342`): rank validation-set
+        conditions by mean NMR distance."""
+        if model_path:
+            self.load_checkpoint(model_path)
+        valid_set = TripletDataset(
+            self.config, "valid_df", level=self.config.get("current_level")
+        )
+        df_emb = self.get_embeddings_csv(
+            valid_set.dataset["Anchor"], root=self.config["root"]
+        )
+        ref = self.get_nmr_embeddings()
+        test_embeddings = df_emb.iloc[:, 1:].to_numpy()
+        dist = np.asarray(cdist(test_embeddings, ref.iloc[:, 1:].to_numpy()))
+        df_dist = pd.DataFrame(
+            {"Anchor": df_emb["Anchor"], "Distance": dist.mean(axis=1)}
+        ).sort_values(by="Distance")
+        df_dist["condition"] = [
+            x.split("_")[1] + " " + x.split("_")[2].split(".")[0]
+            for x in df_dist["Anchor"]
+        ]
+        if plot:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import seaborn as sns
+
+            order = (
+                df_dist.groupby("condition")["Distance"].mean().sort_values().index
+            )
+            plt.figure(figsize=(50, 20))
+            sns.boxplot(df_dist, x="condition", y="Distance", order=order)
+            plt.xticks(rotation=65)
+            plt.tight_layout()
+            plt.savefig(self._out_path("validset_embeddings.png"))
+            plt.close()
+        return df_dist
+
+    def eval_degradation_intensity(self, model_path) -> dict:
+        """intensity (`train_triplet.py:344-419`): per-degradation SRCC of
+        distance vs intensity level."""
+        if not self.eval_w2v and model_path:
+            self.load_checkpoint(model_path)
+        cfg = self.config
+        ref_embeddings = self.get_nmr_embeddings().set_index("reference")
+        test_data = pd.read_csv(cfg["test_mono_data"])
+        out = {}
+        for deg_name, deg_data in test_data.groupby("Degradation"):
+            df_emb = self.get_embeddings_csv(
+                deg_data["filepath_deg"], root=cfg.get("test_mono_wav")
+            )
+            test_embeddings = df_emb.set_index("filepath_deg")
+            test_names = df_emb.merge(deg_data, on="filepath_deg")[
+                ["filepath_deg", "Condition"]
+            ]
+            dist = np.asarray(
+                cdist(test_embeddings.to_numpy(), ref_embeddings.to_numpy())
+            )
+            df_dist = pd.DataFrame(
+                {
+                    "filepath_deg": test_embeddings.index,
+                    "Distance": dist.mean(axis=1),
+                }
+            ).merge(test_names, on="filepath_deg").set_index("filepath_deg")
+            df_dist = df_dist.groupby("Condition").mean().reset_index()
+            s = srcc(df_dist["Distance"], df_dist["Condition"])
+            out[deg_name] = s
+            print(f"Degradation: {deg_name}")
+            print(f"SRCC: {np.round(s, 2)}")
+        return out
+
+    def eval_full_reference(self, model_path, plot: bool = True) -> dict:
+        """quality_fr (`train_triplet.py:421-474`): paired (diagonal)
+        distances against matching references."""
+        if model_path:
+            self.load_checkpoint(model_path)
+        cfg = self.config
+        test_data = pd.read_csv(cfg["test_db_file_fr"])
+        results = {}
+        for db_name, db in test_data.groupby("db"):
+            ref_emb = self.get_embeddings_csv(
+                db["filepath_ref"], root=cfg.get("test_root_wav")
+            ).set_index("filepath_ref")
+            test_emb = self.get_embeddings_csv(
+                db["filepath_deg"], root=cfg.get("test_root_wav")
+            ).set_index("filepath_deg")
+            test_names = test_emb.reset_index().merge(db, on="filepath_deg")[
+                ["filepath_deg", "condition", "mos"]
+            ]
+            fr_distance = np.asarray(
+                cdist_diag(test_emb.to_numpy(), ref_emb.to_numpy())
+            )
+            df_dist = pd.DataFrame(
+                {"filepath_deg": test_emb.index, "Distance": fr_distance}
+            ).merge(test_names, on="filepath_deg").groupby("condition").mean()
+            report = correlation_report(df_dist["Distance"], df_dist["mos"])
+            results[db_name] = report
+            for k, v in report.items():
+                print(f"{db_name} {k}: {np.round(v, 2)}")
+            if plot:
+                self._scatter(
+                    df_dist["mos"],
+                    fit_order_three(df_dist["Distance"], df_dist["mos"])(
+                        df_dist["Distance"]
+                    ),
+                    f"fr_{db_name}_embeddings.png",
+                )
+        return results
+
+    def _out_path(self, name: str) -> str:
+        model_path = self.config.get("nomad_model_path", "out-models/model.npz")
+        out_dir = os.path.dirname(model_path) or "."
+        os.makedirs(out_dir, exist_ok=True)
+        return os.path.join(out_dir, name)
+
+    def _scatter(self, mos, mapped, fname: str):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import seaborn as sns
+
+        sns.scatterplot(x=np.asarray(mos), y=np.asarray(mapped))
+        plt.xlabel("Actual MOS")
+        plt.ylabel("Dist w.r.t. clean embeddings")
+        plt.xlim([1, 5])
+        plt.ylim([1, 5])
+        plt.tight_layout()
+        plt.savefig(self._out_path(fname))
+        plt.close()

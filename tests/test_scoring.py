@@ -1,0 +1,179 @@
+"""Scoring engine + predict pipeline end-to-end (tiny model), including CSV
+format parity with the reference (`/root/reference/src/nomad_audio/
+nomad.py:82-140`) and score parity vs the torch batch-1 oracle loop."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+from scipy.spatial.distance import cdist as scipy_cdist
+
+from nomad_tpu.convert import canonicalize, merge_into, to_flax_params
+from nomad_tpu.convert.oracle import TorchNomadOracle
+from nomad_tpu.io import write_wav
+from nomad_tpu.models import NomadModel, Wav2Vec2Config
+from nomad_tpu.scoring import EmbeddingEngine, bucket_length, build_result_frames
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = Wav2Vec2Config.tiny()
+    oracle = TorchNomadOracle(cfg, emb_dim=16, seed=0)
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    params = merge_into(
+        params,
+        to_flax_params(
+            canonicalize(oracle.state_dict()), cfg.num_layers, len(cfg.conv_dim)
+        ),
+    )
+    return cfg, oracle, model, params
+
+
+def test_bucket_length():
+    assert bucket_length(1) == 4096
+    assert bucket_length(4096) == 4096
+    assert bucket_length(4097) == 8192
+    assert bucket_length(16000) == 16384
+
+
+def test_engine_matches_direct_apply(tiny_setup):
+    cfg, oracle, model, params = tiny_setup
+    rng = np.random.default_rng(5)
+    waves = [
+        (0.2 * rng.standard_normal(n)).astype(np.float32)
+        for n in [900, 5000, 1300, 4200, 700]
+    ]
+    engine = EmbeddingEngine(model, params, batch_sample_budget=8192)
+    emb = engine.embed_waves(waves)
+    assert emb.shape == (5, 16)
+    for i, w in enumerate(waves):
+        direct = np.asarray(model.apply(params, jnp.asarray(w[None, :])))
+        np.testing.assert_allclose(emb[i], direct[0], atol=1e-5)
+
+
+def test_engine_matches_torch_oracle_loop(tiny_setup):
+    cfg, oracle, model, params = tiny_setup
+    rng = np.random.default_rng(6)
+    waves = [
+        (0.2 * rng.standard_normal(n)).astype(np.float32)
+        for n in [1100, 2000, 3100]
+    ]
+    engine = EmbeddingEngine(model, params)
+    ours = engine.embed_waves(waves)
+    ref = oracle.embed_files(waves)
+    assert np.max(np.abs(ours - ref)) < 1e-4
+
+
+def _write_demo_tree(tmp_path, rng, n_nmr=3, n_deg=2):
+    nmr_dir = tmp_path / "nmr-data"
+    deg_dir = tmp_path / "test-data"
+    nmr_dir.mkdir()
+    deg_dir.mkdir()
+    for i in range(n_nmr):
+        w = (0.2 * rng.standard_normal(1000 + 700 * i)).astype(np.float32)
+        write_wav(str(nmr_dir / f"ref_{i}.wav"), w[None], 16000, bits=32)
+    for i in range(n_deg):
+        w = (0.2 * rng.standard_normal(1500 + 900 * i)).astype(np.float32)
+        write_wav(str(deg_dir / f"deg_{i}.wav"), w[None], 16000, bits=32)
+    return str(nmr_dir), str(deg_dir)
+
+
+def test_predict_dir_mode_end_to_end(tiny_setup, tmp_path, rng, monkeypatch):
+    """Full predict vs a reference-faithful torch pipeline: batch-1 loop,
+    scipy cdist, 3-decimal rounding, CSV naming."""
+    from nomad_tpu.api import Nomad
+    from nomad_tpu.io import read_wav
+
+    cfg, oracle, model, params = tiny_setup
+    nmr_dir, deg_dir = _write_demo_tree(tmp_path, rng)
+
+    nomad = Nomad(config=cfg, emb_dim=16, params=params)
+    out_dir = tmp_path / "results"
+    out_dir.mkdir()
+    df_avg, df_dm = nomad.predict("dir", nmr_dir, deg_dir, str(out_dir))
+
+    # torch reference computation (same os.listdir order)
+    nmr_paths = [os.path.join(nmr_dir, x) for x in os.listdir(nmr_dir)]
+    deg_paths = [os.path.join(deg_dir, x) for x in os.listdir(deg_dir)]
+    nmr_emb = oracle.embed_files([read_wav(p)[0][0] for p in nmr_paths])
+    deg_emb = oracle.embed_files([read_wav(p)[0][0] for p in deg_paths])
+    dm_ref = scipy_cdist(deg_emb, nmr_emb)
+    avg_ref = np.mean(dm_ref, axis=1)
+
+    assert list(df_avg.index) == [
+        os.path.basename(p).split(".")[0] for p in deg_paths
+    ]
+    np.testing.assert_allclose(df_avg["NOMAD"].values, np.round(avg_ref, 3), atol=2e-3)
+    np.testing.assert_allclose(df_dm.values, np.round(dm_ref, 3), atol=2e-3)
+
+    # CSV artifacts in reference layout
+    avg_csv = pd.read_csv(out_dir / "nomad_avg.csv")
+    assert list(avg_csv.columns) == ["Test File", "NOMAD"]
+    scores_csv = pd.read_csv(out_dir / "nomad_scores.csv")
+    assert list(scores_csv.columns) == ["Test File"] + [
+        os.path.basename(p).split(".")[0] for p in nmr_paths
+    ]
+
+
+def test_predict_csv_mode(tiny_setup, tmp_path, rng):
+    from nomad_tpu.api import Nomad
+
+    cfg, oracle, model, params = tiny_setup
+    nmr_dir, deg_dir = _write_demo_tree(tmp_path, rng)
+    nmr_csv = tmp_path / "nmr.csv"
+    deg_csv = tmp_path / "deg.csv"
+    pd.DataFrame(
+        {"filename": [os.path.join(nmr_dir, x) for x in os.listdir(nmr_dir)]}
+    ).to_csv(nmr_csv, index=False)
+    pd.DataFrame(
+        {"filename": [os.path.join(deg_dir, x) for x in os.listdir(deg_dir)]}
+    ).to_csv(deg_csv, index=False)
+
+    nomad = Nomad(config=cfg, emb_dim=16, params=params)
+    out_dir = tmp_path / "res2"
+    out_dir.mkdir()
+    df_avg, df_dm = nomad.predict("csv", str(nmr_csv), str(deg_csv), str(out_dir))
+    assert df_dm.shape == (2, 3)
+
+
+def test_predict_validation_errors(tiny_setup, tmp_path):
+    from nomad_tpu.api import Nomad
+
+    cfg, oracle, model, params = tiny_setup
+    nomad = Nomad(config=cfg, emb_dim=16, params=params)
+    with pytest.raises(Exception, match="does not exist"):
+        nomad.predict("dir", str(tmp_path / "nope"), str(tmp_path))
+    with pytest.raises(Exception, match="not valid"):
+        nomad.predict("banana", str(tmp_path), str(tmp_path))
+    with pytest.raises(Exception, match="nmr_path not specified"):
+        nomad.predict("dir", None, str(tmp_path))
+
+
+def test_get_embeddings_frame(tiny_setup, tmp_path, rng):
+    from nomad_tpu.api import Nomad
+
+    cfg, oracle, model, params = tiny_setup
+    nmr_dir, _ = _write_demo_tree(tmp_path, rng)
+    nomad = Nomad(config=cfg, emb_dim=16, params=params)
+    df = nomad.get_embeddings(nmr_dir)
+    assert df.shape == (3, 17)
+    assert df.columns[0] == "filename"
+
+
+def test_build_result_frames_format(rng):
+    dm = rng.random((2, 3))
+    df_avg, df_dm = build_result_frames(
+        ["/a/b/deg_x.wav", "/a/b/deg.y.wav"], ["n1.wav", "d/n2.wav", "n3.flac"], dm
+    )
+    # Q2: label = basename before first dot
+    assert list(df_avg.index) == ["deg_x", "deg"]
+    assert list(df_dm.columns) == ["n1", "n2", "n3"]
+    np.testing.assert_allclose(
+        df_avg["NOMAD"].values, np.round(dm.mean(axis=1), 3), atol=1e-9
+    )
