@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""NOMAD-TPU benchmark — prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "wav-sec/sec/chip", "vs_baseline": N}
+
+Metric (BASELINE.json): wav-seconds scored per second per chip for the full
+scoring pipeline — backbone embedding of degraded + NMR waveforms plus the
+pairwise Euclidean distance matrix. vs_baseline is the speedup over the
+torch-CPU reference pipeline (HF wav2vec2 batch-1 loop + scipy cdist, the
+faithful stand-in for the fairseq reference; measured once on this host and
+cached in bench_cpu_baseline.json).
+
+Config knobs via env: BENCH_N_DEG (default 64), BENCH_N_NMR (8),
+BENCH_SECONDS (10), BENCH_ATTN (xla|pallas), BENCH_REPEATS (3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CPU_BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_cpu_baseline.json")
+
+
+def synth_waves(n: int, seconds: float, sr: int = 16000, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    out = []
+    for i in range(n):
+        f0 = 80.0 + 40.0 * rng.random()
+        x = 0.1 * np.sin(2 * np.pi * f0 * t) + 0.02 * rng.standard_normal(t.shape)
+        # quantize to the PCM16 grid like real decoded files, so the engine's
+        # int16 transfer fast path engages (realistic ingest)
+        x = np.round(np.clip(x, -0.99, 0.99) * 32768.0) / 32768.0
+        out.append(x.astype(np.float32))
+    return out
+
+
+def measure_cpu_baseline(seconds: float, n_files: int = 3) -> float:
+    """torch-CPU reference throughput (wav-sec/sec): batch-1 HF wav2vec2
+    embedding loop + head, as the reference pipeline runs it."""
+    if os.path.isfile(CPU_BASELINE_CACHE):
+        with open(CPU_BASELINE_CACHE) as f:
+            return float(json.load(f)["wav_sec_per_sec"])
+
+    from nomad_tpu.convert.oracle import TorchNomadOracle
+    from nomad_tpu.models import Wav2Vec2Config
+
+    oracle = TorchNomadOracle(Wav2Vec2Config.base(), emb_dim=256, seed=0)
+    waves = synth_waves(n_files, seconds, seed=1)
+    oracle.embed(waves[0][None, :])  # warmup
+    t0 = time.time()
+    for w in waves:
+        oracle.embed(w[None, :])
+    dt = time.time() - t0
+    rate = n_files * seconds / dt
+    with open(CPU_BASELINE_CACHE, "w") as f:
+        json.dump(
+            {"wav_sec_per_sec": rate, "n_files": n_files, "seconds": seconds},
+            f,
+        )
+    return rate
+
+
+def main():
+    n_deg = int(os.environ.get("BENCH_N_DEG", 64))
+    n_nmr = int(os.environ.get("BENCH_N_NMR", 8))
+    seconds = float(os.environ.get("BENCH_SECONDS", 10))
+    attn = os.environ.get("BENCH_ATTN", "xla")
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+
+    # CPU baseline first (torch must not see the TPU; it is CPU-only anyway)
+    baseline = measure_cpu_baseline(seconds)
+
+    import jax
+
+    try:  # persistent compile cache (first-run warmup dominates otherwise)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from nomad_tpu.models import NomadModel, Wav2Vec2Config
+    from nomad_tpu.ops import cdist
+    from nomad_tpu.scoring.engine import EmbeddingEngine
+
+    cfg = Wav2Vec2Config.base(attention_impl=attn)
+    model = NomadModel(cfg, emb_dim=256)
+    # weights: converted checkpoint if present, else seeded random (values
+    # don't affect throughput)
+    cache = os.path.join("pt-models", "nomad_tpu_params.npz")
+    if os.path.isfile(cache):
+        from nomad_tpu.api import _unflatten
+
+        params = {"params": _unflatten(dict(np.load(cache)))}
+    else:
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = model.init(
+                jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
+            )
+        params = jax.device_get(params)
+
+    engine = EmbeddingEngine(model, params)
+    deg = synth_waves(n_deg, seconds, seed=2)
+    nmr = synth_waves(n_nmr, seconds, seed=3)
+
+    def run():
+        e_deg = engine.embed_waves(deg)
+        e_nmr = engine.embed_waves(nmr)
+        dm = np.asarray(cdist(e_deg, e_nmr))
+        return dm
+
+    t0 = time.time()
+    dm = run()  # warmup + compile
+    warm = time.time() - t0
+    assert np.all(np.isfinite(dm))
+
+    best = np.inf
+    for _ in range(repeats):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+
+    total_wav_sec = (n_deg + n_nmr) * seconds
+    value = total_wav_sec / best
+    result = {
+        "metric": "scoring_throughput",
+        "value": round(value, 2),
+        "unit": "wav-sec/sec/chip",
+        "vs_baseline": round(value / baseline, 2),
+        "detail": {
+            "n_deg": n_deg,
+            "n_nmr": n_nmr,
+            "seconds_per_file": seconds,
+            "attention": attn,
+            "warmup_s": round(warm, 2),
+            "steady_s": round(best, 3),
+            "cpu_baseline_wav_sec_per_sec": round(baseline, 2),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

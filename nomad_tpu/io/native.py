@@ -1,0 +1,191 @@
+"""ctypes bindings for the native C++ ingest library (native/
+nomad_native.cpp) — the GIL-free host-side decode/resample/batch path
+standing in for the reference's torchaudio C++ layer.
+
+Auto-builds the .so with the repo Makefile on first use; every entry point
+degrades gracefully to the pure-Python implementations in
+:mod:`nomad_tpu.io` when the toolchain or library is unavailable, and the
+test suite asserts byte-level agreement between the two paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libnomad_native.so"))
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_attempted = False
+
+
+def _try_build() -> bool:
+    global _build_attempted
+    if _build_attempted:
+        return os.path.isfile(_LIB_PATH)
+    _build_attempted = True
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR), "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        return False
+    return os.path.isfile(_LIB_PATH)
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.isfile(_LIB_PATH) and not _try_build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.nomad_native_abi_version.restype = ctypes.c_int
+        if lib.nomad_native_abi_version() != 1:
+            return None
+        lib.nomad_decode_wav.restype = ctypes.c_int
+        lib.nomad_decode_wav.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.nomad_wav_info.restype = ctypes.c_int
+        lib.nomad_wav_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.nomad_load_batch.restype = ctypes.c_int
+        lib.nomad_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def native_wav_info(path: str):
+    lib = get_lib()
+    if lib is None:
+        return None
+    sr = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    rc = lib.nomad_wav_info(path.encode(), ctypes.byref(sr),
+                            ctypes.byref(frames), ctypes.byref(ch))
+    if rc != 0:
+        return None
+    return int(sr.value), int(frames.value), int(ch.value)
+
+
+def native_decode(path: str, max_samples: int = 1 << 26):
+    """Decode one file to mono float32 (no resample). None on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    info = native_wav_info(path)
+    if info is None:
+        return None
+    sr, frames, _ch = info
+    out = np.empty(min(frames, max_samples), np.float32)
+    out_len = ctypes.c_int64()
+    got_sr = ctypes.c_int32()
+    rc = lib.nomad_decode_wav(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.shape[0],
+        ctypes.byref(out_len),
+        ctypes.byref(got_sr),
+    )
+    if rc != 0:
+        return None
+    return out[: out_len.value], int(got_sr.value)
+
+
+def native_load_batch(
+    paths: Sequence[str],
+    pad_len: int,
+    target_sr: int = 16000,
+    trim_sec: int = 0,
+    expect_sr: int = 0,
+    num_threads: int = 0,
+):
+    """Threaded decode+fold+resample+pad of a file list into one
+    [n, pad_len] float32 batch. Returns (batch, lengths, err_flags) or None
+    when the native library is unavailable. Files at rates other than
+    target_sr/expect_sr get err_flags != 0 for Python-side retry."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    batch = np.empty((n, pad_len), np.float32)
+    lengths = np.empty((n,), np.int64)
+    errs = np.empty((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+
+    kern_ptr = None
+    klen = width = og = ng = 0
+    if expect_sr and expect_sr != target_sr:
+        from .resample import sinc_resample_kernel
+
+        kernels, width, og, ng = sinc_resample_kernel(expect_sr, target_sr)
+        kernels = np.ascontiguousarray(kernels, np.float32)
+        klen = kernels.shape[1]
+        kern_ptr = kernels.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    if num_threads <= 0:
+        num_threads = min(16, os.cpu_count() or 4)
+    lib.nomad_load_batch(
+        c_paths,
+        n,
+        batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        pad_len,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        errs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        target_sr,
+        trim_sec,
+        kern_ptr,
+        klen,
+        width,
+        og,
+        ng,
+        expect_sr,
+        num_threads,
+    )
+    return batch, lengths, errs

@@ -66,6 +66,11 @@ class Wav2Vec2Config:
     dtype: Any = jnp.float32        # compute dtype (params stay float32)
     attention_impl: str = "xla"     # 'xla' | 'pallas'
     remat: bool = False
+    # TPU MXU precision for matmuls/convs: 'default' (bf16, fastest, ~1e-3
+    # embedding error — breaks the parity budget), 'high' (bf16_3x, ~1e-5,
+    # default here), 'highest' (fp32). Measured in the round-1 precision
+    # study; see tests/test_oracle_parity.py for the CPU-side guarantee.
+    matmul_precision: str = "high"
 
     @classmethod
     def base(cls, **kw) -> "Wav2Vec2Config":
@@ -329,6 +334,11 @@ class Wav2Vec2Model(nn.Module):
 
     @nn.compact
     def __call__(self, wav, lengths=None, deterministic: bool = True):
+        cfg = self.config
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return self._forward(wav, lengths, deterministic)
+
+    def _forward(self, wav, lengths, deterministic):
         cfg = self.config
         feats, frame_lengths = ConvFeatureEncoder(cfg, name="feature_encoder")(
             wav, lengths

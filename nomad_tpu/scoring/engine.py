@@ -36,12 +36,23 @@ from ..models.heads import NomadModel
 from ..parallel.mesh import batch_sharding, replicated
 
 MIN_BUCKET = 4096  # samples (~0.26 s); below this, padding waste is noise
-DEFAULT_BATCH_SAMPLE_BUDGET = 16 * 160_000  # ~16 files x 10 s per batch
+DEFAULT_BATCH_SAMPLE_BUDGET = 32 * 163_840  # ~32 files x 10 s per batch
 MAX_BATCH = 256
+PCM16_SCALE = 32768.0
 
 
-def bucket_length(n: int, min_bucket: int = MIN_BUCKET) -> int:
-    return max(min_bucket, 1 << int(math.ceil(math.log2(max(n, 1)))))
+def bucket_length(
+    n: int, min_bucket: int = MIN_BUCKET, steps_per_octave: int = 4
+) -> int:
+    """Quantized pad target: multiples of (nearest lower power of two /
+    steps_per_octave). Bounded shape count (steps_per_octave shapes per
+    octave) with <= 1/steps_per_octave padding waste — much tighter than
+    pure power-of-two for the common ~10 s case."""
+    if n <= min_bucket:
+        return min_bucket
+    p = 1 << ((n - 1).bit_length() - 1)  # largest power of two < n
+    step = max(min_bucket, p // steps_per_octave)
+    return ((n + step - 1) // step) * step
 
 
 @dataclass
@@ -54,22 +65,46 @@ class EmbeddingEngine:
     _jitted: dict = field(default_factory=dict, repr=False)
     _params_device: Optional[object] = field(default=None, repr=False)
 
-    def _get_fn(self, batch: int, length: int) -> Callable:
-        key = (batch, length)
+    def _get_fn(self, batch: int, length: int, int16: bool = False) -> Callable:
+        key = (batch, length, int16)
         fn = self._jitted.get(key)
         if fn is None:
+
+            def apply(p, w, l):
+                if int16:
+                    # PCM16 fast path: waveforms ship as int16 (half the
+                    # host->device bytes over the PCIe/relay bottleneck) and
+                    # dequantize on device — bit-exact for 16-bit sources.
+                    w = w.astype(jnp.float32) / PCM16_SCALE
+                return self.model.apply(p, w, lengths=l)
+
             if self.mesh is not None:
                 in_sh = batch_sharding(self.mesh)
                 rep = replicated(self.mesh)
                 fn = jax.jit(
-                    lambda p, w, l: self.model.apply(p, w, lengths=l),
+                    apply,
                     in_shardings=(rep, in_sh, in_sh),
                     out_shardings=in_sh,
                 )
             else:
-                fn = jax.jit(lambda p, w, l: self.model.apply(p, w, lengths=l))
+                fn = jax.jit(apply)
             self._jitted[key] = fn
         return fn
+
+    @staticmethod
+    def _maybe_int16(batch: np.ndarray):
+        """Return (array, is_int16): int16 view when every sample sits
+        exactly on the 1/32768 grid (i.e. source was 16-bit PCM, the common
+        case), else the f32 batch unchanged."""
+        scaled = batch * PCM16_SCALE
+        rounded = np.rint(scaled)
+        if (
+            np.array_equal(scaled, rounded)
+            and rounded.min() >= -32768
+            and rounded.max() <= 32767
+        ):
+            return rounded.astype(np.int16), True
+        return batch, False
 
     def _device_params(self):
         if self._params_device is None:
@@ -120,9 +155,13 @@ class EmbeddingEngine:
         else:
             bar = None
 
+        # Submit every batch without blocking: JAX async dispatch pipelines
+        # the host->device transfer of batch k+1 under the compute of batch
+        # k (the reference's python loop serializes load->transfer->compute,
+        # `nomad.py:172-183`).
+        pending: list[tuple[list[int], object]] = []
         for blen, idxs in iterator:
             bsz = self.batch_size_for(blen)
-            fn = self._get_fn(bsz, blen)
             for start in range(0, len(idxs), bsz):
                 chunk = idxs[start : start + bsz]
                 batch = np.zeros((bsz, blen), np.float32)
@@ -134,13 +173,18 @@ class EmbeddingEngine:
                 for row in range(len(chunk), bsz):  # pad rows: repeat last
                     batch[row] = batch[len(chunk) - 1]
                     lengths[row] = lengths[len(chunk) - 1]
-                emb = np.asarray(
-                    fn(params, jnp.asarray(batch), jnp.asarray(lengths))
+                batch, is_int16 = self._maybe_int16(batch)
+                fn = self._get_fn(bsz, blen, is_int16)
+                pending.append(
+                    (chunk, fn(params, jnp.asarray(batch), jnp.asarray(lengths)))
                 )
-                for row, i in enumerate(chunk):
-                    out[i] = emb[row]
-                if bar is not None:
-                    bar.update(len(chunk))
+
+        for chunk, emb_dev in pending:
+            emb = np.asarray(emb_dev)
+            for row, i in enumerate(chunk):
+                out[i] = emb[row]
+            if bar is not None:
+                bar.update(len(chunk))
         if bar is not None:
             bar.close()
         return np.stack([out[i] for i in range(n)])
@@ -155,7 +199,96 @@ class EmbeddingEngine:
     def embed_files(
         self, paths: Sequence[str], trim: bool = False, progress: bool = False
     ) -> np.ndarray:
+        """File -> embedding pipeline. When the native ingest library is
+        available, decode/fold/resample/pad runs entirely in the C++ thread
+        pool straight into the padded device batch (GIL-free); falls back to
+        the Python decoder otherwise (bit-identical results, tested)."""
+        native_emb = self._embed_files_native(paths, trim, progress)
+        if native_emb is not None:
+            return native_emb
         return self.embed_waves(self.load_waves(paths, trim=trim), progress=progress)
+
+    def _embed_files_native(self, paths, trim, progress):
+        from ..io import native
+        from ..io.resample import sinc_resample_kernel
+
+        if not native.available() or len(paths) == 0:
+            return None
+        infos = [native.native_wav_info(p) for p in paths]
+        if any(i is None for i in infos):
+            return None  # non-wav or unreadable: python path handles errors
+
+        import math as _math
+
+        trim_sec = 10 if trim else 0
+        # predicted post-pipeline lengths for bucket planning
+        plan = []  # (bucket_len, sr, index, length)
+        for idx, (sr, frames, _ch) in enumerate(infos):
+            if sr == 16000:
+                n = frames
+            else:
+                _k, _w, og, ng = sinc_resample_kernel(sr, 16000)
+                n = int(_math.ceil(ng * frames / og))
+            if trim_sec:
+                n = min(n, 16000 * trim_sec)
+            plan.append((bucket_length(n), sr, idx, n))
+
+        groups: dict[tuple[int, int], list[int]] = {}
+        for blen, sr, idx, _n in plan:
+            groups.setdefault((blen, sr), []).append(idx)
+
+        params = self._device_params()
+        out: dict[int, np.ndarray] = {}
+        pending = []
+        for (blen, sr), idxs in sorted(groups.items()):
+            bsz = self.batch_size_for(blen)
+            for start in range(0, len(idxs), bsz):
+                chunk = idxs[start : start + bsz]
+                res = native.native_load_batch(
+                    [paths[i] for i in chunk],
+                    pad_len=blen,
+                    target_sr=16000,
+                    trim_sec=trim_sec,
+                    expect_sr=sr if sr != 16000 else 0,
+                    num_threads=self.io_threads,
+                )
+                if res is None:
+                    return None
+                batch_part, lengths_part, errs = res
+                if len(chunk) < bsz:
+                    batch = np.zeros((bsz, blen), np.float32)
+                    lengths = np.empty((bsz,), np.int64)
+                    batch[: len(chunk)] = batch_part
+                    lengths[: len(chunk)] = lengths_part
+                    batch[len(chunk) :] = batch_part[-1]
+                    lengths[len(chunk) :] = lengths_part[-1]
+                else:
+                    batch, lengths = batch_part, lengths_part
+                # native failures (exotic formats): python fallback per file
+                for row, i in enumerate(chunk):
+                    if errs[row] != 0:
+                        w = load_processing(paths[i], trim=trim)[0][:blen]
+                        batch[row, : len(w)] = w
+                        batch[row, len(w) :] = 0.0
+                        lengths[row] = len(w)
+                batch, is_int16 = self._maybe_int16(batch)
+                fn = self._get_fn(bsz, blen, is_int16)
+                pending.append(
+                    (
+                        chunk,
+                        fn(
+                            params,
+                            jnp.asarray(batch),
+                            jnp.asarray(lengths.astype(np.int32)),
+                        ),
+                    )
+                )
+
+        for chunk, emb_dev in pending:
+            emb = np.asarray(emb_dev)
+            for row, i in enumerate(chunk):
+                out[i] = emb[row]
+        return np.stack([out[i] for i in range(len(paths))])
 
 
 def list_dir_files(path: str) -> list[str]:

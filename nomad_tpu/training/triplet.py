@@ -119,7 +119,14 @@ class Training:
         self.model = NomadModel(
             self.model_config, emb_dim=self.emb_dim, masked_pool=self.masked_pool
         )
-        self.params = params if params is not None else self._load_params(cfg)
+        if params is not None:
+            # own a copy: the jitted train step donates (deletes) its input
+            # param buffers, which must not invalidate the caller's pytree
+            self.params = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params
+            )
+        else:
+            self.params = self._load_params(cfg)
         self.labels = None
         self.tx = None
         self._step_cache: dict = {}

@@ -40,6 +40,13 @@ def test_bucket_length():
     assert bucket_length(4096) == 4096
     assert bucket_length(4097) == 8192
     assert bucket_length(16000) == 16384
+    # 10 s @ 16 kHz: fine-grained quantization keeps waste low (~2%)
+    assert bucket_length(160000) == 163840
+    for n in [5000, 12345, 99999, 160000, 300000]:
+        b = bucket_length(n)
+        assert b >= n
+        if n >= 8 * 4096:  # above the min-bucket regime the waste is bounded
+            assert (b - n) / n <= 0.34
 
 
 def test_engine_matches_direct_apply(tiny_setup):

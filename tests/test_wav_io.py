@@ -21,7 +21,9 @@ def test_roundtrip_pcm16(tmp_path, rng):
 
 
 def test_roundtrip_pcm32(tmp_path, rng):
-    wave = (rng.standard_normal((2, 500)) * 0.3).astype(np.float32)
+    wave = np.clip(rng.standard_normal((2, 500)) * 0.3, -0.99, 0.99).astype(
+        np.float32
+    )
     p = str(tmp_path / "a32.wav")
     write_wav(p, wave, 44100, bits=32)
     out, sr = read_wav(p)
