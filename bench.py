@@ -32,10 +32,9 @@ def synth_waves(n: int, seconds: float, sr: int = 16000, seed: int = 0):
     for i in range(n):
         f0 = 80.0 + 40.0 * rng.random()
         x = 0.1 * np.sin(2 * np.pi * f0 * t) + 0.02 * rng.standard_normal(t.shape)
-        # quantize to the PCM16 grid like real decoded files, so the engine's
-        # int16 transfer fast path engages (realistic ingest)
-        x = np.round(np.clip(x, -0.99, 0.99) * 32768.0) / 32768.0
-        out.append(x.astype(np.float32))
+        # int16 like real decoded PCM16 files: engages the engine's halved
+        # transfer fast path (realistic ingest)
+        out.append(np.round(np.clip(x, -0.99, 0.99) * 32768.0).astype(np.int16))
     return out
 
 
@@ -50,7 +49,9 @@ def measure_cpu_baseline(seconds: float, n_files: int = 3) -> float:
     from nomad_tpu.models import Wav2Vec2Config
 
     oracle = TorchNomadOracle(Wav2Vec2Config.base(), emb_dim=256, seed=0)
-    waves = synth_waves(n_files, seconds, seed=1)
+    waves = [
+        w.astype(np.float32) / 32768.0 for w in synth_waves(n_files, seconds, seed=1)
+    ]
     oracle.embed(waves[0][None, :])  # warmup
     t0 = time.time()
     for w in waves:
@@ -66,8 +67,8 @@ def measure_cpu_baseline(seconds: float, n_files: int = 3) -> float:
 
 
 def main():
-    n_deg = int(os.environ.get("BENCH_N_DEG", 64))
-    n_nmr = int(os.environ.get("BENCH_N_NMR", 8))
+    n_deg = int(os.environ.get("BENCH_N_DEG", 256))
+    n_nmr = int(os.environ.get("BENCH_N_NMR", 16))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
     attn = os.environ.get("BENCH_ATTN", "xla")
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
@@ -76,13 +77,6 @@ def main():
     baseline = measure_cpu_baseline(seconds)
 
     import jax
-
-    try:  # persistent compile cache (first-run warmup dominates otherwise)
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
 
     from nomad_tpu.models import NomadModel, Wav2Vec2Config

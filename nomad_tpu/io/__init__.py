@@ -13,7 +13,14 @@ from __future__ import annotations
 import numpy as np
 
 from .resample import resample, resample_jnp, sinc_resample_kernel
-from .wav import WavInfo, read_wav, read_wav_bytes, wav_info, write_wav
+from .wav import (
+    WavInfo,
+    read_wav,
+    read_wav_bytes,
+    read_wav_int16_mono,
+    wav_info,
+    write_wav,
+)
 
 TARGET_SR = 16000
 
@@ -39,8 +46,26 @@ def load_processing(
     return np.ascontiguousarray(wave, dtype=np.float32)
 
 
+def load_for_scoring(filepath: str, target_sr: int = TARGET_SR, trim: bool = False):
+    """Like :func:`load_processing` but returns raw int16 [samples] for mono
+    PCM16 files already at target_sr (exact, halves device-transfer bytes —
+    see EmbeddingEngine); float32 [samples] otherwise."""
+    try:
+        fast = read_wav_int16_mono(filepath)
+    except Exception:
+        fast = None
+    if fast is not None and fast[1] == target_sr:
+        x = fast[0]
+        if trim and x.shape[0] > target_sr * 10:
+            x = x[: target_sr * 10]
+        return x
+    return load_processing(filepath, target_sr=target_sr, trim=trim)[0]
+
+
 __all__ = [
     "TARGET_SR",
+    "load_for_scoring",
+    "read_wav_int16_mono",
     "WavInfo",
     "load_processing",
     "read_wav",

@@ -115,6 +115,32 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         return read_wav_bytes(f.read())
 
 
+def read_wav_int16_mono(path: str):
+    """Fast path: mono 16-bit PCM -> raw int16 samples (no float convert;
+    int16/32768 dequantizes to exactly the read_wav float). Returns
+    (int16 [samples], sample_rate) or None when the file is not mono PCM16
+    (caller falls back to read_wav)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    fmt = None
+    data_off = data_size = None
+    for cid, off, size in _iter_chunks(buf):
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", buf, off)
+            if fmt[0] == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                (sub_tag,) = struct.unpack_from("<H", buf, off + 24)
+                fmt = (sub_tag,) + fmt[1:]
+        elif cid == b"data":
+            data_off, data_size = off, size
+    if fmt is None or data_off is None:
+        raise WavFormatError("missing fmt/data chunk")
+    format_tag, num_channels, sample_rate, _br, _ba, bits = fmt
+    if format_tag != WAVE_FORMAT_PCM or bits != 16 or num_channels != 1:
+        return None
+    x = np.frombuffer(buf[data_off : data_off + data_size], dtype="<i2")
+    return np.ascontiguousarray(x), int(sample_rate)
+
+
 def wav_info(path: str) -> WavInfo:
     with open(path, "rb") as f:
         buf = f.read()

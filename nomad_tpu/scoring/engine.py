@@ -34,6 +34,7 @@ import numpy as np
 from ..io import load_processing
 from ..models.heads import NomadModel
 from ..parallel.mesh import batch_sharding, replicated
+from ..utils.profiling import timed
 
 MIN_BUCKET = 4096  # samples (~0.26 s); below this, padding waste is noise
 DEFAULT_BATCH_SAMPLE_BUDGET = 32 * 163_840  # ~32 files x 10 s per batch
@@ -91,6 +92,15 @@ class EmbeddingEngine:
             self._jitted[key] = fn
         return fn
 
+    def _put(self, batch: np.ndarray, lengths: np.ndarray):
+        """Async host->device placement (sharded when a mesh is set)."""
+        if self.mesh is not None:
+            sh = batch_sharding(self.mesh)
+            return jax.device_put(batch, sh), jax.device_put(
+                lengths.astype(np.int32), sh
+            )
+        return jax.device_put(batch), jax.device_put(lengths.astype(np.int32))
+
     @staticmethod
     def _maybe_int16(batch: np.ndarray):
         """Return (array, is_int16): int16 view when every sample sits
@@ -116,15 +126,22 @@ class EmbeddingEngine:
                 self._params_device = jax.device_put(self.params)
         return self._params_device
 
-    def batch_size_for(self, length: int) -> int:
+    def batch_size_for(self, length: int, remaining: Optional[int] = None) -> int:
         b = max(1, self.batch_sample_budget // max(length, 1))
         b = min(b, MAX_BATCH)
         if self.mesh is not None:
             n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
             b = max(n, (b // n) * n)
+            if remaining is not None and remaining < b:
+                # right-size the tail batch to the next multiple of the mesh
+                b = max(n, ((remaining + n - 1) // n) * n)
         else:
             # powers of two limit distinct compiled shapes
             b = 1 << int(math.floor(math.log2(b)))
+            if remaining is not None and remaining < b:
+                # tail batch: smallest power of two covering the remainder
+                # (avoids embedding 32 rows to score 2 files)
+                b = 1 << max(0, (remaining - 1)).bit_length()
         return b
 
     def embed_waves(
@@ -161,26 +178,41 @@ class EmbeddingEngine:
         # `nomad.py:172-183`).
         pending: list[tuple[list[int], object]] = []
         for blen, idxs in iterator:
-            bsz = self.batch_size_for(blen)
-            for start in range(0, len(idxs), bsz):
+            full_bsz = self.batch_size_for(blen)
+            start = 0
+            while start < len(idxs):
+                bsz = self.batch_size_for(blen, remaining=len(idxs) - start)
+                bsz = min(bsz, full_bsz)
                 chunk = idxs[start : start + bsz]
-                batch = np.zeros((bsz, blen), np.float32)
+                start += bsz
+                # int16 waveforms (e.g. straight from PCM16 decode) stay
+                # int16 end-to-end: half the transfer bytes, exact on-device
+                # dequantize. Mixed-dtype chunks fall back to f32.
+                chunk_i16 = all(waves[i].dtype == np.int16 for i in chunk)
+                dtype = np.int16 if chunk_i16 else np.float32
+                batch = np.zeros((bsz, blen), dtype)
                 lengths = np.empty((bsz,), np.int32)
                 for row, i in enumerate(chunk):
                     w = waves[i]
+                    if not chunk_i16 and w.dtype == np.int16:
+                        w = w.astype(np.float32) / PCM16_SCALE
                     batch[row, : len(w)] = w
                     lengths[row] = len(w)
                 for row in range(len(chunk), bsz):  # pad rows: repeat last
                     batch[row] = batch[len(chunk) - 1]
                     lengths[row] = lengths[len(chunk) - 1]
-                batch, is_int16 = self._maybe_int16(batch)
+                is_int16 = chunk_i16
+                if not chunk_i16:
+                    batch, is_int16 = self._maybe_int16(batch)
                 fn = self._get_fn(bsz, blen, is_int16)
-                pending.append(
-                    (chunk, fn(params, jnp.asarray(batch), jnp.asarray(lengths)))
-                )
+                with timed("engine.submit", items=len(chunk), nbytes=batch.nbytes):
+                    pending.append(
+                        (chunk, fn(params, *self._put(batch, lengths)))
+                    )
 
         for chunk, emb_dev in pending:
-            emb = np.asarray(emb_dev)
+            with timed("engine.collect", items=len(chunk)):
+                emb = np.asarray(emb_dev)
             for row, i in enumerate(chunk):
                 out[i] = emb[row]
             if bar is not None:
@@ -190,8 +222,10 @@ class EmbeddingEngine:
         return np.stack([out[i] for i in range(n)])
 
     def load_waves(self, paths: Sequence[str], trim: bool = False):
+        from ..io import load_for_scoring
+
         def load(p):
-            return load_processing(p, trim=trim)[0]
+            return load_for_scoring(p, trim=trim)
 
         with ThreadPoolExecutor(max_workers=self.io_threads) as ex:
             return list(ex.map(load, paths))
@@ -241,17 +275,22 @@ class EmbeddingEngine:
         out: dict[int, np.ndarray] = {}
         pending = []
         for (blen, sr), idxs in sorted(groups.items()):
-            bsz = self.batch_size_for(blen)
-            for start in range(0, len(idxs), bsz):
+            full_bsz = self.batch_size_for(blen)
+            start = 0
+            while start < len(idxs):
+                bsz = self.batch_size_for(blen, remaining=len(idxs) - start)
+                bsz = min(bsz, full_bsz)
                 chunk = idxs[start : start + bsz]
-                res = native.native_load_batch(
-                    [paths[i] for i in chunk],
-                    pad_len=blen,
-                    target_sr=16000,
-                    trim_sec=trim_sec,
-                    expect_sr=sr if sr != 16000 else 0,
-                    num_threads=self.io_threads,
-                )
+                start += bsz
+                with timed("engine.native_ingest", items=len(chunk)):
+                    res = native.native_load_batch(
+                        [paths[i] for i in chunk],
+                        pad_len=blen,
+                        target_sr=16000,
+                        trim_sec=trim_sec,
+                        expect_sr=sr if sr != 16000 else 0,
+                        num_threads=self.io_threads,
+                    )
                 if res is None:
                     return None
                 batch_part, lengths_part, errs = res
@@ -273,16 +312,7 @@ class EmbeddingEngine:
                         lengths[row] = len(w)
                 batch, is_int16 = self._maybe_int16(batch)
                 fn = self._get_fn(bsz, blen, is_int16)
-                pending.append(
-                    (
-                        chunk,
-                        fn(
-                            params,
-                            jnp.asarray(batch),
-                            jnp.asarray(lengths.astype(np.int32)),
-                        ),
-                    )
-                )
+                pending.append((chunk, fn(params, *self._put(batch, lengths))))
 
         for chunk, emb_dev in pending:
             emb = np.asarray(emb_dev)
