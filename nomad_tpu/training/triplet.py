@@ -401,15 +401,19 @@ class Training:
             return engine
 
         class _FeatureEngine(EmbeddingEngine):
-            def _get_fn(self, batch, length):
-                key = (batch, length)
+            def _get_fn(self, batch, length, int16=False):
+                key = (batch, length, int16)
                 fn = self._jitted.get(key)
                 if fn is None:
-                    fn = jax.jit(
-                        lambda p, w, l: self.model.apply(
+
+                    def apply(p, w, l):
+                        if int16:
+                            w = w.astype(jnp.float32) / 32768.0
+                        return self.model.apply(
                             p, w, lengths=l, method=NomadModel.forward_features
                         )
-                    )
+
+                    fn = jax.jit(apply)
                     self._jitted[key] = fn
                 return fn
 
@@ -584,9 +588,15 @@ class Training:
             fr_distance = np.asarray(
                 cdist_diag(test_emb.to_numpy(), ref_emb.to_numpy())
             )
-            df_dist = pd.DataFrame(
-                {"filepath_deg": test_emb.index, "Distance": fr_distance}
-            ).merge(test_names, on="filepath_deg").groupby("condition").mean()
+            df_dist = (
+                pd.DataFrame(
+                    {"filepath_deg": test_emb.index, "Distance": fr_distance}
+                )
+                .merge(test_names, on="filepath_deg")
+                .set_index("filepath_deg")
+                .groupby("condition")
+                .mean()
+            )
             report = correlation_report(df_dist["Distance"], df_dist["mos"])
             results[db_name] = report
             for k, v in report.items():

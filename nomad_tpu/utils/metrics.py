@@ -14,8 +14,19 @@ def order_three(x, a, b, c, d):
 
 
 def fit_order_three(distance: np.ndarray, mos: np.ndarray):
-    """Fit Distance -> MOS; returns the mapping callable."""
-    popt, _ = curve_fit(order_three, np.asarray(distance), np.asarray(mos))
+    """Fit Distance -> MOS; returns the mapping callable.
+
+    With fewer than 4 points the cubic is underdetermined (scipy raises, as
+    the reference would); we degrade to the identity map so evaluation still
+    reports raw correlations."""
+    distance = np.asarray(distance, dtype=np.float64)
+    mos = np.asarray(mos, dtype=np.float64)
+    if distance.size < 4:
+        return lambda x: np.asarray(x)
+    try:
+        popt, _ = curve_fit(order_three, distance, mos)
+    except (RuntimeError, TypeError, ValueError):
+        return lambda x: np.asarray(x)
     a, b, c, d = popt
     return lambda x: order_three(np.asarray(x), a, b, c, d)
 
