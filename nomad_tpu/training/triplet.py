@@ -305,9 +305,14 @@ class Training:
 
     def training_loop(self):
         cfg = self.config
-        dt_string = datetime.now().strftime("%d-%m-%Y_%H-%M-%S")
-        self.PATH_DIR = os.path.join("out-models", cfg.get("out_dir", "train-triplet"),
-                                     dt_string)
+        if cfg.get("run_dir"):
+            # pinned run dir: required for resume to find its checkpoints
+            self.PATH_DIR = cfg["run_dir"]
+        else:
+            dt_string = datetime.now().strftime("%d-%m-%Y_%H-%M-%S")
+            self.PATH_DIR = os.path.join(
+                "out-models", cfg.get("out_dir", "train-triplet"), dt_string
+            )
         os.makedirs(self.PATH_DIR, exist_ok=True)
         with open(os.path.join(self.PATH_DIR, "config.yaml"), "w") as f:
             yaml.dump(cfg, f)
@@ -368,25 +373,56 @@ class Training:
             base = self.model.init(jax.random.key(0), wav, method=NomadModel.init_all)
             self.params = merge_into(base, conv)
 
-    def _save_resume_state(self, best, counter, next_epoch):
-        np.savez(
-            os.path.join(self.PATH_DIR, "resume_state.npz"),
-            best=best, counter=counter, next_epoch=next_epoch,
-            lr_head=self.lr_head, lr_backbone=self.lr_backbone,
+    def _ckpt_manager(self):
+        from .checkpoint import CheckpointManager
+
+        base = getattr(self, "PATH_DIR", None) or self.config.get("run_dir")
+        if base is None:
+            return None
+        return CheckpointManager(
+            os.path.join(base, "checkpoints"),
+            backend=self.config.get("checkpoint_backend"),
+            keep=int(self.config.get("checkpoint_keep", 2)),
         )
-        self.save_checkpoint(os.path.join(self.PATH_DIR, "last_model.npz"))
+
+    def _save_resume_state(self, best, counter, next_epoch):
+        """Full resume payload: params + adam state + loop counters + LRs
+        (the reference saves only the best params and cannot resume,
+        SURVEY §5.4)."""
+        opt_leaves, _ = jax.tree_util.tree_flatten(self.opt_state)
+        state = {
+            "params": jax.device_get(self.params["params"]),
+            "opt": {f"leaf_{i:04d}": jax.device_get(l)
+                    for i, l in enumerate(opt_leaves)},
+        }
+        mgr = self._ckpt_manager()
+        if mgr is None:
+            return
+        mgr.save(
+            next_epoch - 1, state,
+            meta={"best": float(best), "counter": int(counter),
+                  "next_epoch": int(next_epoch),
+                  "lr_head": float(self.lr_head),
+                  "lr_backbone": float(self.lr_backbone)},
+        )
 
     def _load_resume_state(self):
         if not self.config.get("resume"):
             return None
-        path = os.path.join(self.PATH_DIR, "resume_state.npz")
-        if not os.path.isfile(path):
+        mgr = self._ckpt_manager()
+        got = mgr.restore() if mgr is not None else None
+        if got is None:
             return None
-        st = np.load(path)
-        self.lr_head = float(st["lr_head"])
-        self.lr_backbone = float(st["lr_backbone"])
-        self.load_checkpoint(os.path.join(self.PATH_DIR, "last_model.npz"))
-        return float(st["best"]), int(st["counter"]), int(st["next_epoch"])
+        _step, state, meta = got
+        self.params = {"params": state["params"]}
+        _leaves, treedef = jax.tree_util.tree_flatten(self.tx.init(self.params))
+        restored = [
+            np.asarray(state["opt"][f"leaf_{i:04d}"]) for i in range(len(_leaves))
+        ]
+        self.opt_state = jax.tree_util.tree_unflatten(treedef, restored)
+        self.lr_head = float(meta["lr_head"])
+        self.lr_backbone = float(meta["lr_backbone"])
+        return float(meta["best"]), int(meta["counter"]), int(meta["next_epoch"])
 
     # ------------- embedding helpers for evals -------------
 
