@@ -71,6 +71,7 @@ class Wav2Vec2Config:
     # default here), 'highest' (fp32). Measured in the round-1 precision
     # study; see tests/test_oracle_parity.py for the CPU-side guarantee.
     matmul_precision: str = "high"
+    layernorm_impl: str = "xla"     # 'xla' | 'pallas' (fused kernel)
 
     @classmethod
     def base(cls, **kw) -> "Wav2Vec2Config":
@@ -117,6 +118,24 @@ def masked_mean(x, lengths=None):
         return jnp.mean(x, axis=1)
     mask = _time_mask(x.shape[1], lengths, x.dtype)
     return jnp.sum(x * mask, axis=1) / lengths[:, None].astype(x.dtype)
+
+
+class LayerNormOp(nn.Module):
+    """LayerNorm with a pluggable backend: plain XLA math or the fused
+    Pallas kernel (ops/layernorm.py). Param names match nn.LayerNorm
+    ('scale'/'bias') so checkpoint conversion is backend-agnostic."""
+
+    features: int
+    epsilon: float = 1e-5
+    impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.layernorm import layer_norm
+
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return layer_norm(x, scale, bias, eps=self.epsilon, impl=self.impl)
 
 
 class MaskedGroupNorm(nn.Module):
@@ -226,10 +245,10 @@ class EncoderLayer(nn.Module):
             nn.Dense, dtype=cfg.dtype, param_dtype=jnp.float32, use_bias=True
         )
         ln = partial(
-            nn.LayerNorm,
+            LayerNormOp,
+            d,
             epsilon=cfg.layer_norm_eps,
-            dtype=cfg.dtype,
-            param_dtype=jnp.float32,
+            impl=cfg.layernorm_impl,
         )
 
         residual = x
@@ -300,10 +319,10 @@ class TransformerEncoder(nn.Module):
             x = x * key_mask.astype(x.dtype)[:, :, None]
 
         x = x + PositionalConvEmbedding(cfg, name="pos_conv")(x)
-        x = nn.LayerNorm(
+        x = LayerNormOp(
+            cfg.hidden_size,
             epsilon=cfg.layer_norm_eps,
-            dtype=cfg.dtype,
-            param_dtype=jnp.float32,
+            impl=cfg.layernorm_impl,
             name="layer_norm",
         )(x)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
@@ -343,10 +362,10 @@ class Wav2Vec2Model(nn.Module):
         feats, frame_lengths = ConvFeatureEncoder(cfg, name="feature_encoder")(
             wav, lengths
         )
-        x = nn.LayerNorm(
+        x = LayerNormOp(
+            cfg.conv_dim[-1],
             epsilon=cfg.layer_norm_eps,
-            dtype=cfg.dtype,
-            param_dtype=jnp.float32,
+            impl=cfg.layernorm_impl,
             name="feature_layer_norm",
         )(feats)
         x = nn.Dense(

@@ -53,7 +53,13 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_kv: in
         m_prev, l_prev, acc = carry
         k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        # precision pinned to DEFAULT: the surrounding model runs under a
+        # default_matmul_precision('high') context, which Mosaic can't lower;
+        # inputs here are f32 so the MXU result is identical anyway.
+        s = jnp.dot(
+            q, k_blk.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # [bq, bk]
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         s = jnp.where(col + i * block_k < kv_len, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -61,7 +67,10 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_kv: in
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
         return m_new, l_new, acc
 
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
@@ -141,7 +150,11 @@ def mha_pallas(q, k, v, key_mask=None, block_q: int = 128, block_k: int = 128,
                interpret: bool | None = None):
     """Drop-in for mha_xla on [B, T, H, D] tensors."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # honor an active jax.default_device(cpu) context (e.g. CPU-side
+        # init of a TPU model) — default_backend() alone misses it
+        dev = jax.config.jax_default_device
+        platform = dev.platform if dev is not None else jax.default_backend()
+        interpret = platform != "tpu"
     t = q.shape[1]
     bq = min(block_q, _round_up(t, 8))
     bk = min(block_k, _round_up(t, 128))
