@@ -17,8 +17,6 @@ from . import io, models, ops
 
 __version__ = "0.1.0"
 
-_LAZY = {"nomad"}
-
 
 def __getattr__(name):
     if name == "nomad":

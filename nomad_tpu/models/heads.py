@@ -17,7 +17,6 @@ like ``LossNetLayers.embedding_layer`` in the reference (`nomad.py:71`).
 
 from __future__ import annotations
 
-import dataclasses
 
 import flax.linen as nn
 import jax
@@ -93,12 +92,6 @@ class NomadModel(nn.Module):
         return masked_mean(
             res["x"], res["frame_lengths"] if self.masked_pool else None
         )
-
-
-@dataclasses.dataclass
-class NomadLossConfig:
-    # 12 transformer layers + 1 embedding (`nomad.py:264`)
-    num_layers: int = 13
 
 
 def nomad_loss(ref_layers, test_layers, frame_lengths=None):

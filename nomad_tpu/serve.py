@@ -1,0 +1,102 @@
+"""Persistent scoring service — a serving mode the reference lacks (its CLI
+pays model load + compile on every invocation; `nomad.py:36-80` reloads
+~400 MB per process).
+
+JSON-lines protocol over stdin/stdout (or any file pair): one request per
+line, one response per line. The model stays warm and compiled between
+requests; repeated shapes hit the engine's jit cache.
+
+Requests:
+  {"op": "score", "nmr": <dir-or-csv>, "deg": <dir-or-csv>,
+   "results_path": <dir or null>}
+  {"op": "embed", "paths": [...]}
+  {"op": "loss", "estimate": [[...]], "clean": [[...]]}
+  {"op": "stats"}      -> profiling spans
+  {"op": "ping"} / {"op": "shutdown"}
+
+Run: ``python -m nomad_tpu.serve`` (add ``--model tiny`` for smoke tests).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import traceback
+
+
+class NomadServer:
+    def __init__(self, nomad=None, model: str = "base"):
+        if nomad is None:
+            from .api import Nomad
+            from .models import Wav2Vec2Config
+
+            cfg = (
+                Wav2Vec2Config.tiny() if model == "tiny" else Wav2Vec2Config.base()
+            )
+            emb_dim = 16 if model == "tiny" else 256
+            nomad = Nomad(config=cfg, emb_dim=emb_dim)
+        self.nomad = nomad
+
+    def handle(self, req: dict) -> dict:
+        op = req.get("op")
+        if op == "ping":
+            return {"ok": True, "op": "ping"}
+        if op == "stats":
+            from .utils.profiling import GLOBAL
+
+            return {"ok": True, "stats": GLOBAL.stats()}
+        if op == "score":
+            avg, dm = self.nomad.predict(
+                req.get("mode", "dir"), req["nmr"], req["deg"],
+                req.get("results_path"),
+            )
+            return {
+                "ok": True,
+                "avg": avg.reset_index().to_dict(orient="records"),
+                "pairwise": dm.reset_index().to_dict(orient="records"),
+            }
+        if op == "embed":
+            emb = self.nomad.engine.embed_files(req["paths"])
+            return {"ok": True, "embeddings": emb.tolist()}
+        if op == "loss":
+            import numpy as np
+
+            loss = self.nomad.forward(
+                np.asarray(req["estimate"], np.float32),
+                np.asarray(req["clean"], np.float32),
+            )
+            return {"ok": True, "loss": float(loss)}
+        if op == "shutdown":
+            return {"ok": True, "op": "shutdown"}
+        return {"ok": False, "error": f"unknown op {op!r}"}
+
+    def run(self, infile=None, outfile=None):
+        infile = infile or sys.stdin
+        outfile = outfile or sys.stdout
+        for line in infile:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                resp = self.handle(req)
+            except Exception as e:  # noqa: BLE001 — service must not die
+                resp = {"ok": False, "error": f"{type(e).__name__}: {e}",
+                        "traceback": traceback.format_exc(limit=3)}
+            outfile.write(json.dumps(resp) + "\n")
+            outfile.flush()
+            if isinstance(resp, dict) and resp.get("op") == "shutdown":
+                break
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="base", choices=["base", "tiny"])
+    args = ap.parse_args(argv)
+    NomadServer(model=args.model).run()
+
+
+if __name__ == "__main__":
+    main()

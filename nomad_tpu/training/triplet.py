@@ -112,7 +112,12 @@ class Training:
         self.DEVICE = jax.default_backend()
         print(f"Device: {self.DEVICE}")
 
-        self.model_config = model_config or Wav2Vec2Config.base()
+        if model_config is None:
+            size = cfg.get("model_size", "base")
+            model_config = (
+                Wav2Vec2Config.tiny() if size == "tiny" else Wav2Vec2Config.base()
+            )
+        self.model_config = model_config
         self.emb_dim = int(cfg.get("emb_dim", 256))
         self.eval_w2v = bool(cfg.get("eval_w2v", False))
         self.masked_pool = bool(cfg.get("masked_pool", True))

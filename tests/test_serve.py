@@ -1,0 +1,95 @@
+"""Serving mode: JSON-lines protocol over in-memory streams."""
+
+import io
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nomad_tpu.api import Nomad
+from nomad_tpu.io import write_wav
+from nomad_tpu.models import NomadModel, Wav2Vec2Config
+from nomad_tpu.serve import NomadServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    return NomadServer(nomad=Nomad(config=cfg, emb_dim=16, params=params))
+
+
+def roundtrip(server, requests):
+    infile = io.StringIO("\n".join(json.dumps(r) for r in requests) + "\n")
+    out = io.StringIO()
+    server.run(infile, out)
+    return [json.loads(l) for l in out.getvalue().strip().splitlines()]
+
+
+def test_ping_and_unknown(server):
+    resps = roundtrip(server, [{"op": "ping"}, {"op": "nope"}])
+    assert resps[0]["ok"] is True
+    assert resps[1]["ok"] is False
+
+
+def test_embed_and_score(server, tmp_path, rng):
+    paths = []
+    for i in range(2):
+        w = (0.2 * rng.standard_normal(1000)).astype(np.float32)
+        p = str(tmp_path / f"w{i}.wav")
+        write_wav(p, w[None], 16000, bits=16)
+        paths.append(p)
+    nmr = tmp_path / "nmr"
+    deg = tmp_path / "deg"
+    nmr.mkdir()
+    deg.mkdir()
+    for i in range(2):
+        w = (0.2 * rng.standard_normal(1200)).astype(np.float32)
+        write_wav(str(nmr / f"n{i}.wav"), w[None], 16000, bits=16)
+        write_wav(str(deg / f"d{i}.wav"), w[None], 16000, bits=16)
+
+    out_dir = tmp_path / "res"
+    out_dir.mkdir()
+    resps = roundtrip(
+        server,
+        [
+            {"op": "embed", "paths": paths},
+            {"op": "score", "nmr": str(nmr), "deg": str(deg),
+             "results_path": str(out_dir)},
+            {"op": "stats"},
+        ],
+    )
+    assert resps[0]["ok"]
+    assert np.asarray(resps[0]["embeddings"]).shape == (2, 16)
+    assert resps[1]["ok"]
+    assert len(resps[1]["avg"]) == 2
+    spans = resps[2]["stats"]
+    assert resps[2]["ok"]
+    assert "engine.submit" in spans or "engine.native_ingest" in spans
+
+
+def test_loss_and_shutdown(server, rng):
+    est = (0.1 * rng.standard_normal((1, 1600))).astype(np.float32).tolist()
+    clean = (0.1 * rng.standard_normal((1, 1600))).astype(np.float32).tolist()
+    resps = roundtrip(
+        server,
+        [{"op": "loss", "estimate": est, "clean": clean},
+         {"op": "shutdown"}, {"op": "ping"}],
+    )
+    assert resps[0]["ok"] and resps[0]["loss"] > 0
+    assert resps[1]["op"] == "shutdown"
+    assert len(resps) == 2  # nothing after shutdown
+
+
+def test_errors_do_not_kill_service(server):
+    resps = roundtrip(
+        server,
+        [{"op": "score", "nmr": "/nope", "deg": "/nope"}, {"op": "ping"}],
+    )
+    assert resps[0]["ok"] is False and "error" in resps[0]
+    assert resps[1]["ok"] is True

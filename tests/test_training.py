@@ -167,7 +167,7 @@ def test_training_loop_checkpoints_and_lr_decay(triplet_tree, tmp_path, monkeypa
     tr.training_loop()
     assert os.path.isfile(os.path.join(tr.PATH_DIR, "best_model.npz"))
     assert os.path.isfile(os.path.join(tr.PATH_DIR, "config.yaml"))
-    assert os.path.isfile(os.path.join(tr.PATH_DIR, "resume_state.npz"))
+    assert os.path.isdir(os.path.join(tr.PATH_DIR, "checkpoints"))
     # Q10: with lr_decay_step=1 the decay fires every epoch regardless of
     # improvement ((counter+1) % 1 == 0)
     assert tr.lr_head == pytest.approx(lr0 * cfg["lr_decay_factor"] ** 2)
