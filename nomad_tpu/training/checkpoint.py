@@ -64,7 +64,7 @@ class CheckpointManager:
     """
 
     def __init__(self, root: str, backend: Optional[str] = None, keep: int = 3):
-        self.root = root
+        self.root = os.path.abspath(root)  # orbax requires absolute paths
         self.keep = keep
         if backend is None:
             backend = "orbax" if have_orbax() else "npz"
