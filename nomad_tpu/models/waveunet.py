@@ -15,7 +15,6 @@ MXU directly; decimation/interpolation are gather-free slices/blends.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 

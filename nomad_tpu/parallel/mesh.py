@@ -15,7 +15,7 @@ shardings, let the compiler place all-gathers/reduce-scatters.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import os
 from datetime import datetime
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,7 @@ import numpy as np
 import optax
 import yaml
 
-from ..models import NomadModel, Wav2Vec2Config, nomad_loss
+from ..models import Wav2Vec2Config
 from ..models.waveunet import WaveUNet
 from .data import PairedAudioDataset
 

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import os
 from datetime import datetime
-from functools import partial
 from typing import Optional
 
 import jax
@@ -47,7 +46,7 @@ from ..convert import canonicalize, load_torch_checkpoint, merge_into, to_flax_p
 from ..models import NomadModel, Wav2Vec2Config
 from ..ops import cdist, cdist_diag
 from ..parallel.mesh import batch_sharding, replicated
-from ..scoring.engine import EmbeddingEngine, list_dir_files
+from ..scoring.engine import EmbeddingEngine
 from ..utils.metrics import correlation_report, fit_order_three, srcc
 from .data import TripletDataset, TripletLoader
 from .losses import triplet_margin_loss
