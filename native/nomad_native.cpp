@@ -181,6 +181,45 @@ struct LoadResult {
   int err = 0;
 };
 
+// FLAC twin (flac_decoder.cpp)
+extern "C" int nomad_flac_info(const uint8_t* data, size_t n, int32_t* sr,
+                               int64_t* frames, int32_t* channels,
+                               int32_t* bits);
+extern "C" int nomad_flac_decode_mono(const uint8_t* data, size_t n,
+                                      float* out, int64_t max_out,
+                                      int64_t* out_len, int32_t* sr);
+
+inline bool is_flac(const std::vector<uint8_t>& buf) {
+  return buf.size() >= 4 && memcmp(buf.data(), "fLaC", 4) == 0;
+}
+
+// decode wav-or-flac payload to mono float; returns sample rate via *sr
+int decode_any_mono(const std::vector<uint8_t>& buf, std::vector<float>* mono,
+                    uint32_t* sr) {
+  if (is_flac(buf)) {
+    int32_t fsr = 0, ch = 0, bits = 0;
+    int64_t frames = 0;
+    int rc = nomad_flac_info(buf.data(), buf.size(), &fsr, &frames, &ch, &bits);
+    if (rc) return rc;
+    if (frames <= 0) frames = (int64_t)buf.size() * 4;  // upper bound
+    mono->resize((size_t)frames);
+    int64_t got = 0;
+    rc = nomad_flac_decode_mono(buf.data(), buf.size(), mono->data(), frames,
+                                &got, &fsr);
+    if (rc) return rc;
+    mono->resize((size_t)got);
+    *sr = (uint32_t)fsr;
+    return 0;
+  }
+  WavView w;
+  int rc = parse_wav(buf.data(), buf.size(), &w);
+  if (rc) return rc;
+  int64_t frames = decode_mono(w, mono);
+  if (frames < 0) return (int)frames;
+  *sr = w.sample_rate;
+  return 0;
+}
+
 // Full per-file pipeline: read -> decode/fold -> (resample) -> (trim)
 LoadResult load_one(const char* path, int target_sr, int trim_sec,
                     const float* kernels, int klen, int width, int orig_sr_g,
@@ -188,17 +227,13 @@ LoadResult load_one(const char* path, int target_sr, int trim_sec,
   LoadResult r;
   std::vector<uint8_t> buf;
   if ((r.err = read_file(path, &buf)) != 0) return r;
-  WavView w;
-  if ((r.err = parse_wav(buf.data(), buf.size(), &w)) != 0) return r;
   std::vector<float> mono;
-  int64_t frames = decode_mono(w, &mono);
-  if (frames < 0) {
-    r.err = (int)frames;
-    return r;
-  }
-  if ((int)w.sample_rate != target_sr) {
+  uint32_t sample_rate = 0;
+  if ((r.err = decode_any_mono(buf, &mono, &sample_rate)) != 0) return r;
+  int64_t frames = (int64_t)mono.size();
+  if ((int)sample_rate != target_sr) {
     // caller must have supplied a kernel bank matching this file's rate
-    if (!kernels || (int)w.sample_rate != expect_sr) {
+    if (!kernels || (int)sample_rate != expect_sr) {
       r.err = -20;  // python fallback handles arbitrary rates
       return r;
     }
@@ -228,24 +263,27 @@ int nomad_decode_wav(const char* path, float* out, int64_t max_out,
   std::vector<uint8_t> buf;
   int e = read_file(path, &buf);
   if (e) return e;
-  WavView w;
-  if ((e = parse_wav(buf.data(), buf.size(), &w)) != 0) return e;
   std::vector<float> mono;
-  int64_t frames = decode_mono(w, &mono);
-  if (frames < 0) return (int)frames;
-  *sr = (int32_t)w.sample_rate;
-  int64_t ncopy = std::min<int64_t>(frames, max_out);
+  uint32_t rate = 0;
+  if ((e = decode_any_mono(buf, &mono, &rate)) != 0) return e;
+  *sr = (int32_t)rate;
+  int64_t ncopy = std::min<int64_t>((int64_t)mono.size(), max_out);
   memcpy(out, mono.data(), (size_t)ncopy * sizeof(float));
   *out_len = ncopy;
   return 0;
 }
 
-// Probe a wav header: sample rate + frame count (for bucket planning).
+// Probe a wav/flac header: sample rate + frame count (for bucket planning).
 int nomad_wav_info(const char* path, int32_t* sr, int64_t* frames,
                    int32_t* channels) {
   std::vector<uint8_t> buf;
   int e = read_file(path, &buf);
   if (e) return e;
+  if (is_flac(buf)) {
+    int32_t bits = 0;
+    return nomad_flac_info(buf.data(), buf.size(), sr, frames, channels,
+                           &bits);
+  }
   WavView w;
   if ((e = parse_wav(buf.data(), buf.size(), &w)) != 0) return e;
   *sr = (int32_t)w.sample_rate;

@@ -25,17 +25,31 @@ from .wav import (
 TARGET_SR = 16000
 
 
+def read_audio(filepath: str) -> tuple[np.ndarray, int]:
+    """Decode WAV or FLAC (by magic) -> (float32 [channels, samples], sr).
+
+    FLAC support exceeds the reference, which needs an offline ffmpeg pass
+    to consume LibriSpeech (`audio_degrader_training.py:70`, SURVEY §2.3)."""
+    with open(filepath, "rb") as f:
+        head = f.read(4)
+    if head == b"fLaC":
+        from .flac import read_flac
+
+        return read_flac(filepath)
+    return read_wav(filepath)
+
+
 def load_processing(
     filepath: str,
     target_sr: int = TARGET_SR,
     trim: bool = False,
 ) -> np.ndarray:
-    """Load a WAV file -> float32 [1, samples] at ``target_sr``.
+    """Load a WAV/FLAC file -> float32 [1, samples] at ``target_sr``.
 
     Mirrors reference `nomad.py:192-212`: stereo folds to (ch0+ch1)/2,
     resample when needed, trim to 10 s when ``trim``.
     """
-    wave, sr = read_wav(filepath)
+    wave, sr = read_audio(filepath)
     if wave.shape[0] > 1:
         wave = ((wave[0, :] + wave[1, :]) / 2.0)[None, :]
     if sr != target_sr:
@@ -65,6 +79,7 @@ def load_for_scoring(filepath: str, target_sr: int = TARGET_SR, trim: bool = Fal
 __all__ = [
     "TARGET_SR",
     "load_for_scoring",
+    "read_audio",
     "read_wav_int16_mono",
     "WavInfo",
     "load_processing",

@@ -27,13 +27,12 @@ from . import degradations as D
 
 
 def flac_to_wav(in_path: str, out_path: str, sr: int = 16000):
-    """LibriSpeech ships flac; convert via ffmpeg (no offline decoder)."""
-    if not D.have_ffmpeg():
-        raise RuntimeError("ffmpeg required for flac decode")
-    subprocess.call(
-        ["ffmpeg", "-y", "-i", in_path, "-ar", str(sr), out_path],
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-    )
+    """LibriSpeech flac -> wav with the built-in decoder + resampler (the
+    reference needed ffmpeg for this step; we don't)."""
+    from ..io import load_processing, write_wav
+
+    wave = load_processing(in_path, target_sr=sr)
+    write_wav(out_path, wave, sr, bits=16)
 
 
 def loudness_normalize(path: str, sr: int = 16000):
