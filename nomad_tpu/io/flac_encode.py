@@ -115,6 +115,34 @@ def _encode_subframe(bw: BitWriter, x: np.ndarray, bps: int, mode: str):
         for v in x:
             bw.write_signed(int(v), bps)
         return
+    if mode.startswith("lpc"):
+        # quantized-LPC subframe (order from mode, e.g. 'lpc2'); coeffs are
+        # the fixed-predictor ones scaled by 2^shift — exercises the LPC
+        # decode path with exact integer round-trip
+        order = int(mode[3:])
+        shift = 5
+        qcoeffs = [c << shift for c in FIXED_COEFFS[order]]
+        precision = 12
+        bw.write(0, 1)
+        bw.write(32 + order - 1, 6)
+        bw.write(0, 1)
+        for v in x[:order]:
+            bw.write_signed(int(v), bps)
+        bw.write(precision - 1, 4)
+        bw.write_signed(shift, 5)
+        for c in qcoeffs:
+            bw.write_signed(c, precision)
+        xs = x.astype(np.int64)
+        resid = []
+        for i in range(order, len(xs)):
+            acc = sum(qcoeffs[j] * int(xs[i - 1 - j]) for j in range(order))
+            resid.append(int(xs[i]) - (acc >> shift))
+        param = _best_rice_param(resid)
+        bw.write(0, 2)
+        bw.write(0, 4)
+        bw.write(param, 4)
+        _rice_encode(bw, resid, param)
+        return
     order = int(mode[-1])  # 'fixed0'..'fixed2'
     coeffs = FIXED_COEFFS[order]
     bw.write(0, 1)
@@ -198,7 +226,9 @@ def encode_flac(
             mode = subframe_mode
             if np.all(ch == ch[0]):
                 mode = "constant"
-            elif mode.startswith("fixed") and bs <= int(mode[-1]):
+            elif (mode.startswith("fixed") or mode.startswith("lpc")) and bs <= int(
+                mode[-1]
+            ):
                 mode = "verbatim"  # block shorter than the predictor order
             _encode_subframe(bw, ch, bits, mode)
         bw.align()

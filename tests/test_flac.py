@@ -23,7 +23,9 @@ def speechy(n, seed=0, amp=3000):
     ).astype(np.int64)
 
 
-@pytest.mark.parametrize("mode", ["constant", "verbatim", "fixed0", "fixed1", "fixed2"])
+@pytest.mark.parametrize(
+    "mode", ["constant", "verbatim", "fixed0", "fixed1", "fixed2", "lpc1", "lpc2"]
+)
 def test_roundtrip_modes(mode):
     x = np.zeros(5000, np.int64) if mode == "constant" else speechy(10000)
     data = encode_flac(x, 16000, subframe_mode=mode if mode != "constant" else "fixed2")
