@@ -116,6 +116,14 @@ class Training:
             model_config = (
                 Wav2Vec2Config.tiny() if size == "tiny" else Wav2Vec2Config.base()
             )
+        if cfg.get("experiment_name") == "Training" and cfg.get("remat", True):
+            # rematerialize transformer blocks in the backward pass: without
+            # it the scanned backward stores every layer's [B,H,T,T]
+            # attention probs and the BASE bs-8 x 10 s step needs ~21 GB
+            # (>16 GB v5e HBM). remat trades that for recompute.
+            import dataclasses as _dc
+
+            model_config = _dc.replace(model_config, remat=True)
         self.model_config = model_config
         self.emb_dim = int(cfg.get("emb_dim", 256))
         self.eval_w2v = bool(cfg.get("eval_w2v", False))
@@ -205,19 +213,23 @@ class Training:
             margin = self.margin
             masked = self.masked_pool
 
-            def embed(p, w, l, rng):
-                return model.apply(
-                    p, w, lengths=l if masked else None,
-                    deterministic=False, rngs={"dropout": rng},
-                )
-
             def step(params, opt_state, a, p_, n, la, lp, ln, lr_b, lr_h, rng):
                 def loss_fn(prm):
-                    ka, kp, kn = jax.random.split(rng, 3)
-                    ea = embed(prm, a, la, ka)
-                    ep = embed(prm, p_, lp, kp)
-                    en = embed(prm, n, ln, kn)
-                    return triplet_margin_loss(ea, ep, en, margin)
+                    # one fused forward over [A; P; N] (3B rows): a third of
+                    # the kernel launches of the reference's three separate
+                    # passes and a single remat structure (per-item masking
+                    # makes the batch dimension independent, so results are
+                    # identical to separate forwards)
+                    wav = jnp.concatenate([a, p_, n], axis=0)
+                    lengths = jnp.concatenate([la, lp, ln], axis=0)
+                    emb = model.apply(
+                        prm, wav, lengths=lengths if masked else None,
+                        deterministic=False, rngs={"dropout": rng},
+                    )
+                    b = a.shape[0]
+                    return triplet_margin_loss(
+                        emb[:b], emb[b : 2 * b], emb[2 * b :], margin
+                    )
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = tx.update(grads, opt_state, params)
@@ -247,11 +259,14 @@ class Training:
             masked = self.masked_pool
 
             def step(params, a, p_, n, la, lp, ln):
-                def embed(w, l):
-                    return model.apply(params, w, lengths=l if masked else None)
-
+                wav = jnp.concatenate([a, p_, n], axis=0)
+                lengths = jnp.concatenate([la, lp, ln], axis=0)
+                emb = model.apply(
+                    params, wav, lengths=lengths if masked else None
+                )
+                b = a.shape[0]
                 return triplet_margin_loss(
-                    embed(a, la), embed(p_, lp), embed(n, ln), margin
+                    emb[:b], emb[b : 2 * b], emb[2 * b :], margin
                 )
 
             if self.mesh is not None:
