@@ -86,6 +86,7 @@ class Nomad:
         self.params = params if params is not None else self._resolve_params()
         self.engine = EmbeddingEngine(self.model, self.params, mesh=mesh)
         self._loss_apply = None
+        self._params_dev = None
 
     # ---------------- weights ----------------
 
@@ -211,8 +212,12 @@ class Nomad:
 
     # ---------------- differentiable loss ----------------
 
-    def loss_fn(self, estimate, clean, deterministic: bool = True):
-        """Pure differentiable NOMAD perceptual loss (use under jax.grad).
+    def loss_fn_p(self, params, estimate, clean, deterministic: bool = True):
+        """Pure differentiable NOMAD perceptual loss with explicit params.
+
+        Use THIS form inside jit/grad-of-jit: passing params as an argument
+        keeps them out of the compiled program's constants (closing over
+        the 94M-param pytree embeds ~380 MB into the XLA payload).
 
         estimate/clean: [B, T] or [B, 1, T] waveforms (reference squeezes
         dim 1 at `nomad.py:224,242`). Sum of 13 per-layer L1 distances.
@@ -222,20 +227,31 @@ class Nomad:
         if clean.ndim == 3:
             clean = clean.squeeze(1)
         est_layers = self.model.apply(
-            self.params, estimate, deterministic=deterministic,
+            params, estimate, deterministic=deterministic,
             method=NomadModel.forward_layers,
         )
         clean_layers = self.model.apply(
-            self.params, clean, deterministic=deterministic,
+            params, clean, deterministic=deterministic,
             method=NomadModel.forward_layers,
         )
         return nomad_loss(clean_layers, est_layers)
 
+    def loss_fn(self, estimate, clean, deterministic: bool = True):
+        """Convenience form over the instance's params (differentiable
+        w.r.t. estimate/clean; see loss_fn_p for use under jit)."""
+        return self.loss_fn_p(self.params, estimate, clean, deterministic)
+
     def forward(self, estimate, clean):
-        """Reference `nomad.py:142-146` (jitted on first call)."""
+        """Reference `nomad.py:142-146` (jitted on first call; params flow
+        as arguments, not constants)."""
         if self._loss_apply is None:
-            self._loss_apply = jax.jit(lambda e, c: self.loss_fn(e, c))
-        return self._loss_apply(jnp.asarray(estimate), jnp.asarray(clean))
+            self._loss_apply = jax.jit(
+                lambda p, e, c: self.loss_fn_p(p, e, c)
+            )
+            self._params_dev = jax.device_put(self.params)
+        return self._loss_apply(
+            self._params_dev, jnp.asarray(estimate), jnp.asarray(clean)
+        )
 
 
 _singleton: Optional[Nomad] = None

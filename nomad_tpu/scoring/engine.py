@@ -151,6 +151,8 @@ class EmbeddingEngine:
     ) -> np.ndarray:
         """Embed a list of 1-D float32 waveforms -> [N, emb_dim] in order."""
         n = len(waves)
+        if n == 0:
+            return np.zeros((0, self.model.emb_dim), np.float32)
         order = sorted(range(n), key=lambda i: len(waves[i]))
         params = self._device_params()
         out: dict[int, np.ndarray] = {}

@@ -99,24 +99,32 @@ class SpeechEnhancement:
 
     # ------------- jitted steps -------------
 
-    def _loss(self, params, batch_stats, noisy, clean, rng):
+    def _nomad_params_dev(self):
+        if getattr(self, "_nomad_dev", None) is None:
+            # NOMAD params enter the jitted step as ARGUMENTS — closing over
+            # the 94M-param pytree would embed ~380 MB of constants into the
+            # compiled program
+            self._nomad_dev = jax.device_put(self.nomad.params)
+        return self._nomad_dev
+
+    def _loss(self, params, batch_stats, nomad_params, noisy, clean, rng):
         est, mutated = self.unet.apply(
             {"params": params, "batch_stats": batch_stats},
             noisy, train=True, mutable=["batch_stats"],
         )
         mse = jnp.mean((est - clean) ** 2)
-        if self.loss_dropout:
-            nl = self.nomad.loss_fn(est, clean, deterministic=False)
-        else:
-            nl = self.nomad.loss_fn(est, clean)
+        nl = self.nomad.loss_fn_p(
+            nomad_params, est, clean, deterministic=not self.loss_dropout
+        )
         return mse + self.nomad_weight * nl, mutated["batch_stats"]
 
     def _get_step(self):
         if self._step is None:
-            def step(params, batch_stats, opt_state, noisy, clean, rng):
+            def step(params, batch_stats, opt_state, nomad_params, noisy,
+                     clean, rng):
                 (loss, new_bs), grads = jax.value_and_grad(
                     self._loss, has_aux=True
-                )(params, batch_stats, noisy, clean, rng)
+                )(params, batch_stats, nomad_params, noisy, clean, rng)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return params, new_bs, opt_state, loss
@@ -126,13 +134,15 @@ class SpeechEnhancement:
 
     def _get_eval_step(self):
         if self._eval_step is None:
-            def estep(params, batch_stats, noisy, clean):
+            def estep(params, batch_stats, nomad_params, noisy, clean):
                 est = self.unet.apply(
                     {"params": params, "batch_stats": batch_stats},
                     noisy, train=False,
                 )
                 mse = jnp.mean((est - clean) ** 2)
-                return mse + self.nomad_weight * self.nomad.loss_fn(est, clean)
+                return mse + self.nomad_weight * self.nomad.loss_fn_p(
+                    nomad_params, est, clean
+                )
 
             self._eval_step = jax.jit(estep)
         return self._eval_step
@@ -158,6 +168,7 @@ class SpeechEnhancement:
             key, sub = jax.random.split(key)
             self.params, self.batch_stats, self.opt_state, loss = step(
                 self.params, self.batch_stats, self.opt_state,
+                self._nomad_params_dev(),
                 jnp.asarray(noisy), jnp.asarray(clean), sub,
             )
             total += float(loss)
@@ -171,6 +182,7 @@ class SpeechEnhancement:
             int(self.config.get("valid_bs", 100)), shuffle=False
         ):
             total += float(estep(self.params, self.batch_stats,
+                                 self._nomad_params_dev(),
                                  jnp.asarray(noisy), jnp.asarray(clean)))
             nb += 1
         return total / max(nb, 1)

@@ -104,8 +104,9 @@ def test_se_nomad_loss_contributes_grad(se_dirs, tiny_nomad):
 
     def gradnorm(se):
         def loss(p):
-            l, _ = se._loss(p, se.batch_stats, jnp.asarray(noisy),
-                            jnp.asarray(clean), jax.random.key(0))
+            l, _ = se._loss(p, se.batch_stats, se.nomad.params,
+                            jnp.asarray(noisy), jnp.asarray(clean),
+                            jax.random.key(0))
             return l
 
         g = jax.grad(loss)(se.params)
