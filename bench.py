@@ -71,7 +71,7 @@ def main():
     n_nmr = int(os.environ.get("BENCH_N_NMR", 16))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
     attn = os.environ.get("BENCH_ATTN", "xla")
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    repeats = int(os.environ.get("BENCH_REPEATS", 5))
 
     # CPU baseline first (torch must not see the TPU; it is CPU-only anyway)
     baseline = measure_cpu_baseline(seconds)
