@@ -174,38 +174,49 @@ class EmbeddingEngine:
         else:
             bar = None
 
-        # Submit every batch without blocking: JAX async dispatch pipelines
-        # the host->device transfer of batch k+1 under the compute of batch
-        # k (the reference's python loop serializes load->transfer->compute,
-        # `nomad.py:172-183`).
-        pending: list[tuple[list[int], object]] = []
+        # Plan every batch, assemble the padded arrays in a thread pool
+        # (independent, memcpy-bound), then submit in order: JAX async
+        # dispatch pipelines the host->device transfer of batch k+1 under
+        # the compute of batch k (the reference's python loop serializes
+        # load->transfer->compute, `nomad.py:172-183`).
+        chunks: list[tuple[list[int], int, int]] = []  # (indices, bsz, blen)
         for blen, idxs in iterator:
             full_bsz = self.batch_size_for(blen)
             start = 0
             while start < len(idxs):
                 bsz = self.batch_size_for(blen, remaining=len(idxs) - start)
                 bsz = min(bsz, full_bsz)
-                chunk = idxs[start : start + bsz]
+                chunks.append((idxs[start : start + bsz], bsz, blen))
                 start += bsz
-                # int16 waveforms (e.g. straight from PCM16 decode) stay
-                # int16 end-to-end: half the transfer bytes, exact on-device
-                # dequantize. Mixed-dtype chunks fall back to f32.
-                chunk_i16 = all(waves[i].dtype == np.int16 for i in chunk)
-                dtype = np.int16 if chunk_i16 else np.float32
-                batch = np.zeros((bsz, blen), dtype)
-                lengths = np.empty((bsz,), np.int32)
-                for row, i in enumerate(chunk):
-                    w = waves[i]
-                    if not chunk_i16 and w.dtype == np.int16:
-                        w = w.astype(np.float32) / PCM16_SCALE
-                    batch[row, : len(w)] = w
-                    lengths[row] = len(w)
-                for row in range(len(chunk), bsz):  # pad rows: repeat last
-                    batch[row] = batch[len(chunk) - 1]
-                    lengths[row] = lengths[len(chunk) - 1]
-                is_int16 = chunk_i16
-                if not chunk_i16:
-                    batch, is_int16 = self._maybe_int16(batch)
+
+        def assemble(job):
+            chunk, bsz, blen = job
+            # int16 waveforms (e.g. straight from PCM16 decode) stay int16
+            # end-to-end: half the transfer bytes, exact on-device
+            # dequantize. Mixed-dtype chunks fall back to f32.
+            chunk_i16 = all(waves[i].dtype == np.int16 for i in chunk)
+            dtype = np.int16 if chunk_i16 else np.float32
+            batch = np.zeros((bsz, blen), dtype)
+            lengths = np.empty((bsz,), np.int32)
+            for row, i in enumerate(chunk):
+                w = waves[i]
+                if not chunk_i16 and w.dtype == np.int16:
+                    w = w.astype(np.float32) / PCM16_SCALE
+                batch[row, : len(w)] = w
+                lengths[row] = len(w)
+            for row in range(len(chunk), bsz):  # pad rows: repeat last
+                batch[row] = batch[len(chunk) - 1]
+                lengths[row] = lengths[len(chunk) - 1]
+            is_int16 = chunk_i16
+            if not chunk_i16:
+                batch, is_int16 = self._maybe_int16(batch)
+            return batch, lengths, is_int16
+
+        pending: list[tuple[list[int], object]] = []
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(chunks)))) as ex:
+            for (chunk, bsz, blen), (batch, lengths, is_int16) in zip(
+                chunks, ex.map(assemble, chunks)
+            ):
                 fn = self._get_fn(bsz, blen, is_int16)
                 with timed("engine.submit", items=len(chunk), nbytes=batch.nbytes):
                     pending.append(
