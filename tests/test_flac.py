@@ -144,3 +144,22 @@ def test_engine_scores_flac_files(tmp_path, rng):
     waves = [load_processing(p)[0] for p in paths]
     emb2 = engine.embed_waves(waves)
     np.testing.assert_allclose(emb, emb2, atol=1e-5)
+
+
+def test_fuzz_corrupt_streams_fail_cleanly():
+    """Truncated/corrupted FLAC must raise FlacFormatError, not crash or
+    loop."""
+    rng = np.random.default_rng(0)
+    x = speechy(5000)
+    good = bytearray(encode_flac(x, 16000))
+    for cut in (10, 50, len(good) // 2, len(good) - 3):
+        with pytest.raises((FlacFormatError, IndexError, ValueError)):
+            decode_flac_bytes(bytes(good[:cut]))
+    for _ in range(10):
+        bad = bytearray(good)
+        for _ in range(20):
+            bad[rng.integers(42, len(bad))] = rng.integers(0, 256)
+        try:
+            decode_flac_bytes(bytes(bad))
+        except (FlacFormatError, IndexError, ValueError, MemoryError):
+            pass  # clean failure is fine; silent garbage is fine too
