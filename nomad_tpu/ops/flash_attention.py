@@ -48,18 +48,34 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_kv: in
     block_q = q.shape[0]
     q = q * (1.0 / (d**0.5))
     num_kb = t_kv // block_k
+    # precision pinned to DEFAULT on all dots: the surrounding model runs
+    # under a default_matmul_precision('high') context, which Mosaic can't
+    # lower; inputs here are f32 so the MXU result is identical anyway.
+    dot_kw = dict(
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
+    )
+
+    if num_kb == 1:
+        # single-pass softmax (the common case: whole K/V fits the block) —
+        # no online-softmax carries, ~25% faster than XLA attention at
+        # NOMAD shapes (micro-study, round 1)
+        k_blk = k_ref[0].astype(jnp.float32)
+        v_blk = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), **dot_kw)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_kv), 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p, v_blk, (((1,), (0,)), ((), ())), **dot_kw)
+        o_ref[0] = (o / l).astype(o_ref.dtype)
+        return
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
         k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        # precision pinned to DEFAULT: the surrounding model runs under a
-        # default_matmul_precision('high') context, which Mosaic can't lower;
-        # inputs here are f32 so the MXU result is identical anyway.
-        s = jnp.dot(
-            q, k_blk.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )  # [bq, bk]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())), **dot_kw)
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         s = jnp.where(col + i * block_k < kv_len, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -67,9 +83,8 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_kv: in
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(
-            p, v_blk, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), **dot_kw
         )
         return m_new, l_new, acc
 
@@ -98,6 +113,11 @@ def _flash_folded(q, k, v, lengths, block_q: int, block_k: int, interpret: bool)
             out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, lens: (g, i, 0)),
         ),
         out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        # 'arbitrary' on the q-block axis keeps the revisited K/V blocks
+        # resident in VMEM across q iterations
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(lengths, q, k, v)
 
@@ -146,9 +166,13 @@ def _mha_pallas_bwd(block_q, block_k, interpret, res, g):
 _mha_pallas.defvjp(_mha_pallas_fwd, _mha_pallas_bwd)
 
 
-def mha_pallas(q, k, v, key_mask=None, block_q: int = 128, block_k: int = 128,
+def mha_pallas(q, k, v, key_mask=None, block_q: int = 512, block_k: int = 2048,
                interpret: bool | None = None):
-    """Drop-in for mha_xla on [B, T, H, D] tensors."""
+    """Drop-in for mha_xla on [B, T, H, D] tensors.
+
+    Default blocks put typical NOMAD sequence lengths (T' <= 2048, ~40 s of
+    audio) on the single-pass softmax path; longer files stream K/V through
+    the online-softmax loop."""
     if interpret is None:
         # honor an active jax.default_device(cpu) context (e.g. CPU-side
         # init of a TPU model) — default_backend() alone misses it
