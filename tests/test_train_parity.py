@@ -114,8 +114,14 @@ def test_one_step_parity(pair):
                 diff = np.max(np.abs(np.asarray(o_tree[k]) - v))
                 assert 0 < diff < 1e-2, f"{path + k}: {diff}"
             else:
-                diff = np.max(np.abs(np.asarray(o_tree[k]) - v))
-                assert diff < 5e-5, f"{path + k}: {diff}"
+                d = np.abs(np.asarray(o_tree[k]) - v)
+                # Adam's step-1 update is ~lr*sign(grad): components whose
+                # gradient sits at f32 noise can flip sign between
+                # frameworks, bounding any single entry by ~2*lr. Require
+                # the bulk to match tightly and every entry within that
+                # bound (lr = 1e-3).
+                assert float(np.mean(d)) < 5e-6, f"{path + k}: mean {d.mean()}"
+                assert float(np.max(d)) < 2.5e-3, f"{path + k}: max {d.max()}"
 
     compare(t_after["backbone"], ours["backbone"])
     compare(t_after["embedding"], ours["embedding"])
