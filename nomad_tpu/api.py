@@ -79,12 +79,22 @@ class Nomad:
         self.emb_dim = emb_dim
         self.weights_dir = weights_dir
         self.mesh = mesh
+        # device pick mirrors reference `nomad.py:40-47`: auto-detected
+        # accelerator, overridable by the user ('cpu' / 'tpu')
+        self._device = None
+        if device is not None:
+            try:
+                self._device = jax.devices(device)[0]
+            except RuntimeError as e:
+                raise Exception(f"device {device!r} not available: {e}")
         self.DEVICE = device or jax.default_backend()
         print(f"NOMAD running on: {self.DEVICE}")
 
         self.model = NomadModel(self.config, emb_dim=emb_dim)
         self.params = params if params is not None else self._resolve_params()
-        self.engine = EmbeddingEngine(self.model, self.params, mesh=mesh)
+        self.engine = EmbeddingEngine(
+            self.model, self.params, mesh=mesh, device=self._device
+        )
         self._loss_apply = None
         self._params_dev = None
 

@@ -61,6 +61,7 @@ class EmbeddingEngine:
     model: NomadModel
     params: dict
     mesh: Optional[object] = None  # jax.sharding.Mesh with a 'data' axis
+    device: Optional[object] = None  # explicit jax.Device (mesh wins if set)
     batch_sample_budget: int = DEFAULT_BATCH_SAMPLE_BUDGET
     io_threads: int = 16
     _jitted: dict = field(default_factory=dict, repr=False)
@@ -99,7 +100,10 @@ class EmbeddingEngine:
             return jax.device_put(batch, sh), jax.device_put(
                 lengths.astype(np.int32), sh
             )
-        return jax.device_put(batch), jax.device_put(lengths.astype(np.int32))
+        return (
+            jax.device_put(batch, self.device),
+            jax.device_put(lengths.astype(np.int32), self.device),
+        )
 
     @staticmethod
     def _maybe_int16(batch: np.ndarray):
@@ -123,7 +127,7 @@ class EmbeddingEngine:
                     self.params, replicated(self.mesh)
                 )
             else:
-                self._params_device = jax.device_put(self.params)
+                self._params_device = jax.device_put(self.params, self.device)
         return self._params_device
 
     def batch_size_for(self, length: int, remaining: Optional[int] = None) -> int:

@@ -162,3 +162,21 @@ def test_main_dispatcher_aliases():
     assert _SCRIPT_ALIASES["src.nomad_audio.nomad_loss_test"] == "nomad_tpu.training.se"
     # the reference test_pip.yaml points at a stale path (quirk Q11) — mapped
     assert "src.nomad_ar.nomad_score_test" in _SCRIPT_ALIASES
+
+
+def test_device_override():
+    """Reference parity: Nomad(device=...) pins execution (`nomad.py:40-47`)."""
+    from nomad_tpu.api import Nomad
+
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    n = Nomad(config=cfg, emb_dim=16, params=params, device="cpu")
+    emb = n.engine.embed_waves(
+        [np.zeros(900, np.float32), np.ones(700, np.float32) * 0.1]
+    )
+    assert emb.shape == (2, 16)
+    with pytest.raises(Exception, match="not available"):
+        Nomad(config=cfg, emb_dim=16, params=params, device="banana")
