@@ -130,6 +130,9 @@ def _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret):
         lengths = jnp.full((b,), t, jnp.int32)
 
     t_pad = _round_up(t, max(block_q, block_k))
+    assert t_pad % block_q == 0 and t_pad % block_k == 0, (
+        t, block_q, block_k,
+    )
     pad = t_pad - t
 
     def prep(x):
@@ -180,6 +183,10 @@ def mha_pallas(q, k, v, key_mask=None, block_q: int = 512, block_k: int = 2048,
         platform = dev.platform if dev is not None else jax.default_backend()
         interpret = platform != "tpu"
     t = q.shape[1]
-    bq = min(block_q, _round_up(t, 8))
-    bk = min(block_k, _round_up(t, 128))
+    # power-of-two blocks with bq <= bk and t padded to a bk multiple: the
+    # (bh, t_pad // bq) grid then tiles every query row exactly (a
+    # non-divisible t_pad would silently skip trailing rows)
+    bk = 1 << max(7, (_round_up(t, 128) - 1).bit_length())
+    bk = min(block_k, bk)
+    bq = min(block_q, bk)
     return _mha_pallas(q, k, v, key_mask, bq, bk, interpret)

@@ -67,8 +67,6 @@ def param_labels(params_tree, freeze_convnet: bool, freeze_all: bool):
             return "frozen"
         return "backbone"
 
-    flat = jax.tree_util.tree_flatten_with_path(params_tree)[0]
-
     def mk(tree, prefix=""):
         return {
             k: (
@@ -79,7 +77,6 @@ def param_labels(params_tree, freeze_convnet: bool, freeze_all: bool):
             for k, v in tree.items()
         }
 
-    del flat
     return mk(params_tree)
 
 

@@ -74,3 +74,17 @@ def test_model_with_pallas_attention(rng):
     e_x = model_x.apply(params, wav, lengths=jnp.array([1500, 2000]))
     e_p = model_p.apply(params, wav, lengths=jnp.array([1500, 2000]))
     assert np.max(np.abs(np.asarray(e_x) - np.asarray(e_p))) < 1e-5
+
+
+@pytest.mark.parametrize("t", [600, 1100, 130])
+def test_nondivisible_block_lengths(rng, t):
+    """Regression: t_pad not divisible by block_q used to skip trailing
+    query rows entirely."""
+    B, H, D = 1, 2, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, t, H, D)).astype(np.float32))
+        for _ in range(3)
+    )
+    ref = np.asarray(mha_xla(q, k, v))
+    out = np.asarray(mha_pallas(q, k, v, interpret=True))
+    assert np.max(np.abs(ref - out)) < 1e-5  # ALL rows, incl. the tail
