@@ -336,6 +336,84 @@ int nomad_load_batch(const char** paths, int64_t n, float* batch,
   return failures.load();
 }
 
+// Probe with format detail (bits/format/flac) so the caller can route
+// mono-PCM16@target files to the int16 fast path.
+int nomad_probe(const char* path, int32_t* sr, int64_t* frames,
+                int32_t* channels, int32_t* bits, int32_t* is_float,
+                int32_t* is_flac_out) {
+  std::vector<uint8_t> buf;
+  int e = read_file(path, &buf);
+  if (e) return e;
+  if (is_flac(buf)) {
+    *is_flac_out = 1;
+    *is_float = 0;
+    return nomad_flac_info(buf.data(), buf.size(), sr, frames, channels, bits);
+  }
+  *is_flac_out = 0;
+  WavView w;
+  if ((e = parse_wav(buf.data(), buf.size(), &w)) != 0) return e;
+  *sr = (int32_t)w.sample_rate;
+  *channels = (int32_t)w.channels;
+  *bits = (int32_t)w.bits;
+  *is_float = w.format == kFloat ? 1 : 0;
+  size_t bps = (w.bits / 8) * w.channels;
+  *frames = bps ? (int64_t)(w.payload_size / bps) : 0;
+  return 0;
+}
+
+// int16 batched loader: mono PCM16 files at target_sr only (raw sample
+// passthrough — int16/32768 dequantizes on device to exactly the float
+// path's values). Any other format gets err_flags[i] != 0 for the caller
+// to route through the float path. Threaded like nomad_load_batch.
+int nomad_load_batch_i16(const char** paths, int64_t n, int16_t* batch,
+                         int64_t pad_len, int64_t* lengths,
+                         int32_t* err_flags, int target_sr, int trim_sec,
+                         int num_threads) {
+  std::atomic<int64_t> next(0);
+  std::atomic<int> failures(0);
+  int nt = std::max(1, std::min<int>(num_threads, (int)n));
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    pool.emplace_back([&]() {
+      std::vector<uint8_t> buf;
+      for (;;) {
+        int64_t i = next.fetch_add(1);
+        if (i >= n) return;
+        int16_t* row = batch + i * pad_len;
+        auto fail = [&](int code) {
+          memset(row, 0, (size_t)pad_len * sizeof(int16_t));
+          lengths[i] = 0;
+          err_flags[i] = code;
+          failures.fetch_add(1);
+        };
+        buf.clear();
+        int e = read_file(paths[i], &buf);
+        if (e) { fail(e); continue; }
+        if (is_flac(buf)) { fail(-30); continue; }
+        WavView w;
+        if ((e = parse_wav(buf.data(), buf.size(), &w)) != 0) { fail(e); continue; }
+        if (w.format != kPcm || w.bits != 16 || w.channels != 1 ||
+            (int)w.sample_rate != target_sr) {
+          fail(-31);
+          continue;
+        }
+        int64_t frames = (int64_t)(w.payload_size / 2);
+        if (trim_sec > 0 && frames > (int64_t)target_sr * trim_sec)
+          frames = (int64_t)target_sr * trim_sec;
+        int64_t ncopy = std::min<int64_t>(frames, pad_len);
+        memcpy(row, w.payload, (size_t)ncopy * sizeof(int16_t));
+        if (ncopy < pad_len)
+          memset(row + ncopy, 0, (size_t)(pad_len - ncopy) * sizeof(int16_t));
+        lengths[i] = ncopy;
+        err_flags[i] = 0;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
 int nomad_native_abi_version() { return 1; }
 
 }  // extern "C"

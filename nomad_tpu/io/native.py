@@ -74,6 +74,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.nomad_probe.restype = ctypes.c_int
+        lib.nomad_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.nomad_load_batch_i16.restype = ctypes.c_int
+        lib.nomad_load_batch_i16.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         lib.nomad_load_batch.restype = ctypes.c_int
         lib.nomad_load_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
@@ -136,6 +158,60 @@ def native_decode(path: str, max_samples: int = 1 << 26):
     if rc != 0:
         return None
     return out[: out_len.value], int(got_sr.value)
+
+
+def native_probe(path: str):
+    """Format probe: (sr, frames, channels, bits, is_float, is_flac) or
+    None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sr = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    ch = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    is_float = ctypes.c_int32()
+    is_flac = ctypes.c_int32()
+    rc = lib.nomad_probe(
+        path.encode(), ctypes.byref(sr), ctypes.byref(frames),
+        ctypes.byref(ch), ctypes.byref(bits), ctypes.byref(is_float),
+        ctypes.byref(is_flac),
+    )
+    if rc != 0:
+        return None
+    return (int(sr.value), int(frames.value), int(ch.value), int(bits.value),
+            bool(is_float.value), bool(is_flac.value))
+
+
+def native_load_batch_i16(
+    paths: Sequence[str],
+    pad_len: int,
+    target_sr: int = 16000,
+    trim_sec: int = 0,
+    num_threads: int = 0,
+):
+    """Raw-int16 batched loader for mono PCM16 files at target_sr (half the
+    transfer bytes of the float path, exact on-device dequantize). Returns
+    (int16 batch, lengths, err_flags) or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    batch = np.empty((n, pad_len), np.int16)
+    lengths = np.empty((n,), np.int64)
+    errs = np.empty((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if num_threads <= 0:
+        num_threads = min(16, os.cpu_count() or 4)
+    lib.nomad_load_batch_i16(
+        c_paths, n,
+        batch.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        pad_len,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        errs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        target_sr, trim_sec, num_threads,
+    )
+    return batch, lengths, errs
 
 
 def native_load_batch(

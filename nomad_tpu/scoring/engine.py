@@ -265,16 +265,17 @@ class EmbeddingEngine:
 
         if not native.available() or len(paths) == 0:
             return None
-        infos = [native.native_wav_info(p) for p in paths]
+        infos = [native.native_probe(p) for p in paths]
         if any(i is None for i in infos):
-            return None  # non-wav or unreadable: python path handles errors
+            return None  # unreadable/unknown format: python path reports it
 
         import math as _math
 
         trim_sec = 10 if trim else 0
-        # predicted post-pipeline lengths for bucket planning
-        plan = []  # (bucket_len, sr, index, length)
-        for idx, (sr, frames, _ch) in enumerate(infos):
+        # predicted post-pipeline lengths for bucket planning; mono PCM16 at
+        # 16 kHz rides the raw-int16 loader (half the transfer bytes)
+        plan = []  # (bucket_len, sr, i16able, index)
+        for idx, (sr, frames, ch, bits, is_float, is_flac) in enumerate(infos):
             if sr == 16000:
                 n = frames
             else:
@@ -282,16 +283,20 @@ class EmbeddingEngine:
                 n = int(_math.ceil(ng * frames / og))
             if trim_sec:
                 n = min(n, 16000 * trim_sec)
-            plan.append((bucket_length(n), sr, idx, n))
+            i16 = (
+                sr == 16000 and ch == 1 and bits == 16
+                and not is_float and not is_flac
+            )
+            plan.append((bucket_length(n), sr, i16, idx))
 
-        groups: dict[tuple[int, int], list[int]] = {}
-        for blen, sr, idx, _n in plan:
-            groups.setdefault((blen, sr), []).append(idx)
+        groups: dict[tuple[int, int, bool], list[int]] = {}
+        for blen, sr, i16, idx in plan:
+            groups.setdefault((blen, sr, i16), []).append(idx)
 
         params = self._device_params()
         out: dict[int, np.ndarray] = {}
         pending = []
-        for (blen, sr), idxs in sorted(groups.items()):
+        for (blen, sr, i16), idxs in sorted(groups.items()):
             full_bsz = self.batch_size_for(blen)
             start = 0
             while start < len(idxs):
@@ -300,19 +305,28 @@ class EmbeddingEngine:
                 chunk = idxs[start : start + bsz]
                 start += bsz
                 with timed("engine.native_ingest", items=len(chunk)):
-                    res = native.native_load_batch(
-                        [paths[i] for i in chunk],
-                        pad_len=blen,
-                        target_sr=16000,
-                        trim_sec=trim_sec,
-                        expect_sr=sr if sr != 16000 else 0,
-                        num_threads=self.io_threads,
-                    )
+                    if i16:
+                        res = native.native_load_batch_i16(
+                            [paths[i] for i in chunk],
+                            pad_len=blen,
+                            target_sr=16000,
+                            trim_sec=trim_sec,
+                            num_threads=self.io_threads,
+                        )
+                    else:
+                        res = native.native_load_batch(
+                            [paths[i] for i in chunk],
+                            pad_len=blen,
+                            target_sr=16000,
+                            trim_sec=trim_sec,
+                            expect_sr=sr if sr != 16000 else 0,
+                            num_threads=self.io_threads,
+                        )
                 if res is None:
                     return None
                 batch_part, lengths_part, errs = res
                 if len(chunk) < bsz:
-                    batch = np.zeros((bsz, blen), np.float32)
+                    batch = np.zeros((bsz, blen), batch_part.dtype)
                     lengths = np.empty((bsz,), np.int64)
                     batch[: len(chunk)] = batch_part
                     lengths[: len(chunk)] = lengths_part
@@ -320,14 +334,21 @@ class EmbeddingEngine:
                     lengths[len(chunk) :] = lengths_part[-1]
                 else:
                     batch, lengths = batch_part, lengths_part
-                # native failures (exotic formats): python fallback per file
+                # native failures (exotic formats/races): python fallback
                 for row, i in enumerate(chunk):
                     if errs[row] != 0:
                         w = load_processing(paths[i], trim=trim)[0][:blen]
+                        if batch.dtype == np.int16:
+                            w = np.clip(
+                                np.round(w * PCM16_SCALE), -32768, 32767
+                            ).astype(np.int16)
                         batch[row, : len(w)] = w
-                        batch[row, len(w) :] = 0.0
+                        batch[row, len(w) :] = 0
                         lengths[row] = len(w)
-                batch, is_int16 = self._maybe_int16(batch)
+                if batch.dtype == np.int16:
+                    is_int16 = True
+                else:
+                    batch, is_int16 = self._maybe_int16(batch)
                 fn = self._get_fn(bsz, blen, is_int16)
                 pending.append((chunk, fn(params, *self._put(batch, lengths))))
 

@@ -112,3 +112,61 @@ def test_engine_native_path_matches_python(tmp_path, rng):
     assert emb_native is not None
     emb_python = engine.embed_waves(engine.load_waves(paths))
     np.testing.assert_allclose(emb_native, emb_python, atol=1e-6)
+
+
+def test_probe_and_i16_batch(tmp_path, rng):
+    from nomad_tpu.io import load_processing
+
+    paths = []
+    for i, n in enumerate([2500, 1200]):
+        w = np.clip(0.3 * rng.standard_normal(n), -0.99, 0.99).astype(np.float32)
+        p = str(tmp_path / f"i{i}.wav")
+        write_wav(p, w[None], 16000, bits=16)
+        paths.append(p)
+    probe = native.native_probe(paths[0])
+    assert probe == (16000, 2500, 1, 16, False, False)
+
+    batch, lengths, errs = native.native_load_batch_i16(paths, pad_len=4096)
+    assert batch.dtype == np.int16
+    assert (errs == 0).all()
+    for i, p in enumerate(paths):
+        ref = load_processing(p)[0]
+        assert lengths[i] == len(ref)
+        np.testing.assert_array_equal(
+            batch[i, : len(ref)].astype(np.float32) / 32768.0, ref
+        )
+        assert not batch[i, len(ref):].any()
+
+    # stereo and float files are rejected (err flag), not silently wrong
+    ws = np.clip(0.3 * rng.standard_normal((2, 900)), -0.99, 0.99).astype(np.float32)
+    ps = str(tmp_path / "st.wav")
+    write_wav(ps, ws, 16000, bits=16)
+    _, _, errs2 = native.native_load_batch_i16([ps], pad_len=4096)
+    assert errs2[0] != 0
+
+
+def test_engine_uses_i16_group(tmp_path, rng):
+    """mono PCM16 @16k files must flow through the int16 jit variant."""
+    import jax
+    import jax.numpy as jnp
+
+    from nomad_tpu.models import NomadModel, Wav2Vec2Config
+    from nomad_tpu.scoring import EmbeddingEngine
+
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    paths = []
+    for i in range(3):
+        w = np.clip(0.3 * rng.standard_normal(1500), -0.99, 0.99).astype(np.float32)
+        p = str(tmp_path / f"g{i}.wav")
+        write_wav(p, w[None], 16000, bits=16)
+        paths.append(p)
+    engine = EmbeddingEngine(model, params)
+    emb = engine._embed_files_native(paths, trim=False, progress=False)
+    assert emb is not None
+    assert any(key[2] for key in engine._jitted)  # an int16 fn was compiled
+    ref = engine.embed_waves(engine.load_waves(paths))
+    np.testing.assert_allclose(emb, ref, atol=1e-6)
