@@ -83,6 +83,15 @@ def main():
     from nomad_tpu.ops import cdist
     from nomad_tpu.scoring.engine import EmbeddingEngine
 
+    # multi-chip: shard the batch over all devices when >1 are visible
+    # (BENCH_MESH=0 disables). The metric stays per-chip.
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and os.environ.get("BENCH_MESH", "1") != "0":
+        from nomad_tpu.parallel import data_mesh
+
+        mesh = data_mesh()
+
     cfg = Wav2Vec2Config.base(attention_impl=attn)
     model = NomadModel(cfg, emb_dim=256)
     # weights: converted checkpoint if present, else seeded random (values
@@ -99,7 +108,7 @@ def main():
             )
         params = jax.device_get(params)
 
-    engine = EmbeddingEngine(model, params)
+    engine = EmbeddingEngine(model, params, mesh=mesh)
     deg = synth_waves(n_deg, seconds, seed=2)
     nmr = synth_waves(n_nmr, seconds, seed=3)
 
@@ -121,7 +130,7 @@ def main():
         best = min(best, time.time() - t0)
 
     total_wav_sec = (n_deg + n_nmr) * seconds
-    value = total_wav_sec / best
+    value = total_wav_sec / best / (n_dev if mesh is not None else 1)
     result = {
         "metric": "scoring_throughput",
         "value": round(value, 2),
@@ -136,6 +145,7 @@ def main():
             "steady_s": round(best, 3),
             "cpu_baseline_wav_sec_per_sec": round(baseline, 2),
             "backend": jax.default_backend(),
+            "n_devices": n_dev,
         },
     }
     print(json.dumps(result))
