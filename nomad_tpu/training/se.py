@@ -72,7 +72,11 @@ class SpeechEnhancement:
         if nomad is None:
             from ..api import get_nomad
 
-            nomad = get_nomad(config=model_config)
+            if model_config is None and config.get("model_size") == "tiny":
+                model_config = Wav2Vec2Config.tiny()
+                nomad = get_nomad(config=model_config, emb_dim=16)
+            else:
+                nomad = get_nomad(config=model_config)
         self.nomad = nomad
         self.nomad_weight = float(config.get("nomad_weight", 0.001))
         self.loss_dropout = bool(config.get("loss_dropout", False))

@@ -84,3 +84,46 @@ def test_dispatch_unknown_experiment(tmp_path):
         yaml.dump(cfg, f)
     res = CliRunner().invoke(training, ["--config_file", str(p)])
     assert res.exit_code == 0  # prints a warning, does not crash
+
+
+def test_dispatch_se(tmp_path, rng, monkeypatch):
+    """SE branch of the dispatcher (reference test_nomad_loss.yaml path)."""
+    import nomad_tpu.api as api
+    from main import training
+
+    base = tmp_path
+    for split in ("train", "valid", "test"):
+        nd = base / f"noisy_{split}"
+        cd = base / f"clean_{split}"
+        nd.mkdir()
+        cd.mkdir()
+        for i in range(2):
+            clean = (0.2 * rng.standard_normal(18000)).astype(np.float32)
+            write_wav(str(cd / f"p{i}.wav"), clean[None], 16000, bits=16)
+            write_wav(str(nd / f"p{i}.wav"),
+                      (clean + 0.02 * rng.standard_normal(18000)
+                       .astype(np.float32))[None], 16000, bits=16)
+    config = {
+        "experiment_name": "Test pip",
+        "training_script": "src.nomad_audio.nomad_loss_test",  # aliased
+        "noisy_train_dir": str(base / "noisy_train"),
+        "clean_train_dir": str(base / "clean_train"),
+        "noisy_valid_dir": str(base / "noisy_valid"),
+        "clean_valid_dir": str(base / "clean_valid"),
+        "noisy_test_dir": str(base / "noisy_test"),
+        "clean_test_dir": str(base / "clean_test"),
+        "train_bs": 2, "valid_bs": 2, "test_bs": 2,
+        "lr": 1e-3, "nomad_weight": 0.001, "target_sr": 16000,
+        "patience": 3, "num_epochs": 1, "test_every": 5,
+        "n_layers": 3, "model_size": "tiny",
+    }
+    p = base / "se.yaml"
+    with open(p, "w") as f:
+        yaml.dump(config, f)
+    monkeypatch.chdir(tmp_path)
+    api._singleton = None
+    try:
+        res = CliRunner().invoke(training, ["--config_file", str(p)])
+        assert res.exit_code == 0, res.output
+    finally:
+        api._singleton = None
