@@ -113,9 +113,9 @@ def main():
     nmr = synth_waves(n_nmr, seconds, seed=3)
 
     def run():
-        e_deg = engine.embed_waves(deg)
-        e_nmr = engine.embed_waves(nmr)
-        dm = np.asarray(cdist(e_deg, e_nmr))
+        # single engine pass (deg + nmr) so every batch pipelines
+        emb = engine.embed_waves(deg + nmr)
+        dm = np.asarray(cdist(emb[:n_deg], emb[n_deg:]))
         return dm
 
     t0 = time.time()

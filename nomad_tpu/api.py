@@ -174,19 +174,26 @@ class Nomad:
             )
 
         print(f"Compute non-matching reference embeddings from {nmr}")
-        nmr_paths, nmr_emb = self._paths_and_embeddings(nmr)
+        nmr_paths = self._resolve_paths(nmr)
         print(f"Compute degraded embeddings from {deg}")
-        test_paths, test_emb = self._paths_and_embeddings(deg)
+        test_paths = self._resolve_paths(deg)
+        # one engine pass over both sets: batches of the two lists pipeline
+        # through the device back-to-back (two calls would drain between)
+        emb = self.engine.embed_files(nmr_paths + test_paths, progress=True)
+        nmr_emb = emb[: len(nmr_paths)]
+        test_emb = emb[len(nmr_paths):]
 
         distance_matrix = np.asarray(cdist(test_emb, nmr_emb))
         df_avg, df_dm = build_result_frames(test_paths, nmr_paths, distance_matrix)
         write_results(df_avg, df_dm, results_path)
         return df_avg, df_dm
 
-    def _paths_and_embeddings(self, path: str):
+    def _resolve_paths(self, path: str) -> list:
+        """Quirk Q3: dir mode follows os.listdir order; csv mode follows row
+        order of its 'filename' column."""
         if os.path.isdir(path):
-            paths = list_dir_files(path)
-        elif os.path.isfile(path):
+            return list_dir_files(path)
+        if os.path.isfile(path):
             data = pd.read_csv(path)
             if "filename" not in data.columns:
                 raise Exception(
@@ -194,9 +201,11 @@ class Nomad:
                     "pass a csv file with a column called filename that includes "
                     "the absolute filpaths of the waveforms."
                 )
-            paths = list(data["filename"])
-        else:
-            raise Exception(f"Path {path} does not exist")
+            return list(data["filename"])
+        raise Exception(f"Path {path} does not exist")
+
+    def _paths_and_embeddings(self, path: str):
+        paths = self._resolve_paths(path)
         emb = self.engine.embed_files(paths, progress=True)
         return paths, emb
 

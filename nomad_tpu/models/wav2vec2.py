@@ -73,6 +73,20 @@ class Wav2Vec2Config:
     matmul_precision: str = "high"
     layernorm_impl: str = "xla"     # 'xla' | 'pallas' (fused kernel)
 
+    def __post_init__(self):
+        if self.hidden_size % self.num_heads:
+            raise ValueError(
+                f"hidden_size {self.hidden_size} not divisible by "
+                f"num_heads {self.num_heads}"
+            )
+        if not (len(self.conv_dim) == len(self.conv_kernel) == len(self.conv_stride)):
+            raise ValueError("conv_dim/conv_kernel/conv_stride length mismatch")
+        if self.layerdrop:
+            raise NotImplementedError(
+                "layerdrop is a documented divergence (PARITY.md) and is "
+                "not implemented; set layerdrop=0"
+            )
+
     @classmethod
     def base(cls, **kw) -> "Wav2Vec2Config":
         return cls(**kw)
