@@ -281,12 +281,23 @@ class Training:
 
     # ------------- epoch loops -------------
 
+    @staticmethod
+    def _progress(iterable):
+        """tqdm bar around batch loops, like the reference
+        (`train_triplet.py:117,140`); silent fallback without tqdm."""
+        try:
+            from tqdm import tqdm
+
+            return tqdm(iterable, total=len(iterable), leave=False)
+        except Exception:
+            return iterable
+
     def train(self, loader=None, rng_seed: int = 0) -> float:
         loader = loader or self.train_loader
         total = 0.0
         nb = 0
         key = jax.random.key(rng_seed)
-        for batch in loader:
+        for batch in self._progress(loader):
             key, sub = jax.random.split(key)
             shape = batch.anchor.shape
             fn = self._get_step(shape)
@@ -306,7 +317,7 @@ class Training:
         loader = loader or self.valid_loader
         total = 0.0
         nb = 0
-        for batch in loader:
+        for batch in self._progress(loader):
             fn = self._get_eval_step(batch.anchor.shape)
             loss = fn(
                 self.params,
