@@ -9,8 +9,8 @@ torch-CPU reference pipeline (HF wav2vec2 batch-1 loop + scipy cdist, the
 faithful stand-in for the fairseq reference; measured once on this host and
 cached in bench_cpu_baseline.json).
 
-Config knobs via env: BENCH_N_DEG (default 64), BENCH_N_NMR (8),
-BENCH_SECONDS (10), BENCH_ATTN (xla|pallas), BENCH_REPEATS (3).
+Config knobs via env: BENCH_N_DEG (default 256), BENCH_N_NMR (32),
+BENCH_SECONDS (10), BENCH_ATTN (xla|pallas), BENCH_REPEATS (5), BENCH_MESH.
 """
 
 from __future__ import annotations
@@ -68,7 +68,7 @@ def measure_cpu_baseline(seconds: float, n_files: int = 3) -> float:
 
 def main():
     n_deg = int(os.environ.get("BENCH_N_DEG", 256))
-    n_nmr = int(os.environ.get("BENCH_N_NMR", 16))
+    n_nmr = int(os.environ.get("BENCH_N_NMR", 32))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
     attn = os.environ.get("BENCH_ATTN", "xla")
     repeats = int(os.environ.get("BENCH_REPEATS", 5))
