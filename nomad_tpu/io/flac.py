@@ -223,8 +223,6 @@ def _decode_subframe(br: BitReader, blocksize: int, bps: int) -> np.ndarray:
         order = stype - 8
         warm = [br.read_int(bps) for _ in range(order)]
         resid = _decode_residual(br, blocksize, order)
-        samples = np.empty(blocksize, np.int64)
-        samples[:order] = warm
         coeffs = FIXED_COEFFS[order]
         s = list(warm)
         for i in range(order, blocksize):
