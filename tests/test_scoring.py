@@ -184,3 +184,23 @@ def test_build_result_frames_format(rng):
     np.testing.assert_allclose(
         df_avg["NOMAD"].values, np.round(dm.mean(axis=1), 3), atol=1e-9
     )
+
+
+def test_predict_default_results_layout(tiny_setup, tmp_path, rng, monkeypatch):
+    """results_path=None -> results-csv/<dd-mm-YYYY_HH-MM-SS>/{ts}_nomad_avg.csv
+    + {ts}_nomad_scores.csv (reference nomad.py:123-135)."""
+    import re
+
+    from nomad_tpu.api import Nomad
+
+    cfg, oracle, model, params = tiny_setup
+    nmr_dir, deg_dir = _write_demo_tree(tmp_path, rng)
+    monkeypatch.chdir(tmp_path)
+    nomad = Nomad(config=cfg, emb_dim=16, params=params)
+    nomad.predict("dir", nmr_dir, deg_dir, None)
+    root = tmp_path / "results-csv"
+    assert root.is_dir()
+    (ts_dir,) = list(root.iterdir())
+    assert re.fullmatch(r"\d{2}-\d{2}-\d{4}_\d{2}-\d{2}-\d{2}", ts_dir.name)
+    names = sorted(p.name for p in ts_dir.iterdir())
+    assert names == [f"{ts_dir.name}_nomad_avg.csv", f"{ts_dir.name}_nomad_scores.csv"]
