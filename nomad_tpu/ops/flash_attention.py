@@ -34,7 +34,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_kv: int):
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_kv: int,
+                  precision=None):
     """One (batch*head, q-block) program: online softmax over K/V blocks.
 
     len_ref: [BH] int32 in SMEM (scalar-prefetched valid key counts)
@@ -48,11 +49,12 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_kv: in
     block_q = q.shape[0]
     q = q * (1.0 / (d**0.5))
     num_kb = t_kv // block_k
-    # precision pinned to DEFAULT on all dots: the surrounding model runs
-    # under a default_matmul_precision('high') context, which Mosaic can't
-    # lower; inputs here are f32 so the MXU result is identical anyway.
+    # Mosaic lowers DEFAULT (bf16 MXU passes, fastest, ~2.5e-4 emb diff)
+    # and HIGHEST (f32, ~5e-5, ~40% slower) but not the inherited HIGH
+    # context — pin explicitly.
     dot_kw = dict(
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
+        preferred_element_type=jnp.float32,
+        precision=precision or jax.lax.Precision.DEFAULT,
     )
 
     if num_kb == 1:
@@ -95,11 +97,16 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_kv: in
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_folded(q, k, v, lengths, block_q: int, block_k: int, interpret: bool):
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "precision")
+)
+def _flash_folded(q, k, v, lengths, block_q: int, block_k: int, interpret: bool,
+                  precision=None):
     """q/k/v: [B*H, T, D] with T % blocks == 0; lengths: [B*H] int32."""
     bh, t, d = q.shape
-    kernel = functools.partial(_flash_kernel, block_k=block_k, t_kv=t)
+    kernel = functools.partial(
+        _flash_kernel, block_k=block_k, t_kv=t, precision=precision
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -122,7 +129,8 @@ def _flash_folded(q, k, v, lengths, block_q: int, block_k: int, interpret: bool)
     )(lengths, q, k, v)
 
 
-def _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret):
+def _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret,
+                         precision=None):
     b, t, h, d = q.shape
     if key_mask is not None:
         lengths = jnp.sum(key_mask.astype(jnp.int32), axis=-1)
@@ -144,22 +152,25 @@ def _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret):
     # padded query rows produce garbage that downstream masking re-zeroes;
     # padded keys are excluded by lengths (lengths <= t <= t_pad)
     lens = jnp.repeat(lengths.astype(jnp.int32), h)
-    out = _flash_folded(prep(q), prep(k), prep(v), lens, block_q, block_k, interpret)
+    out = _flash_folded(prep(q), prep(k), prep(v), lens, block_q, block_k,
+                        interpret, precision)
     out = out.reshape(b, h, t_pad, d)[:, :, :t, :]
     return jnp.swapaxes(out, 1, 2)  # [B, T, H, D]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _mha_pallas(q, k, v, key_mask, block_q, block_k, interpret):
-    return _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _mha_pallas(q, k, v, key_mask, block_q, block_k, interpret, precision):
+    return _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret,
+                                precision)
 
 
-def _mha_pallas_fwd(q, k, v, key_mask, block_q, block_k, interpret):
-    out = _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret)
+def _mha_pallas_fwd(q, k, v, key_mask, block_q, block_k, interpret, precision):
+    out = _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret,
+                               precision)
     return out, (q, k, v, key_mask)
 
 
-def _mha_pallas_bwd(block_q, block_k, interpret, res, g):
+def _mha_pallas_bwd(block_q, block_k, interpret, precision, res, g):
     q, k, v, key_mask = res
     _, vjp = jax.vjp(lambda q_, k_, v_: mha_xla(q_, k_, v_, key_mask), q, k, v)
     dq, dk, dv = vjp(g)
@@ -170,7 +181,7 @@ _mha_pallas.defvjp(_mha_pallas_fwd, _mha_pallas_bwd)
 
 
 def mha_pallas(q, k, v, key_mask=None, block_q: int = 512, block_k: int = 2048,
-               interpret: bool | None = None):
+               interpret: bool | None = None, precision=None):
     """Drop-in for mha_xla on [B, T, H, D] tensors.
 
     Default blocks put typical NOMAD sequence lengths (T' <= 2048, ~40 s of
@@ -189,4 +200,4 @@ def mha_pallas(q, k, v, key_mask=None, block_q: int = 512, block_k: int = 2048,
     bk = 1 << max(7, (_round_up(t, 128) - 1).bit_length())
     bk = min(block_k, bk)
     bq = min(block_q, bk)
-    return _mha_pallas(q, k, v, key_mask, bq, bk, interpret)
+    return _mha_pallas(q, k, v, key_mask, bq, bk, interpret, precision)
