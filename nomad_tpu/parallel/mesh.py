@@ -58,18 +58,12 @@ def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def sharded_cdist(a, b, mesh: Mesh):
-    """Distance matrix with rows sharded over 'row' and cols over 'col'.
+from functools import lru_cache
 
-    a [N, D] row-sharded, b [M, D] col-sharded; the Gram matmul contracts the
-    replicated feature axis locally, so the [N, M] output lands already
-    2-D-sharded with zero collectives (N, M padded to multiples of the mesh
-    by the caller).
-    """
+
+@lru_cache(maxsize=8)
+def _sharded_cdist_fn(mesh: Mesh):
     from ..ops.distance import cdist
-
-    a = jax.device_put(a, NamedSharding(mesh, P("row", None)))
-    b = jax.device_put(b, NamedSharding(mesh, P("col", None)))
 
     @jax.jit
     def f(a, b):
@@ -78,4 +72,18 @@ def sharded_cdist(a, b, mesh: Mesh):
             d, NamedSharding(mesh, P("row", "col"))
         )
 
-    return f(a, b)
+    return f
+
+
+def sharded_cdist(a, b, mesh: Mesh):
+    """Distance matrix with rows sharded over 'row' and cols over 'col'.
+
+    a [N, D] row-sharded, b [M, D] col-sharded; the Gram matmul contracts the
+    replicated feature axis locally, so the [N, M] output lands already
+    2-D-sharded with zero collectives (N, M padded to multiples of the mesh
+    by the caller). The jitted function is cached per mesh (a fresh closure
+    per call would recompile every time).
+    """
+    a = jax.device_put(a, NamedSharding(mesh, P("row", None)))
+    b = jax.device_put(b, NamedSharding(mesh, P("col", None)))
+    return _sharded_cdist_fn(mesh)(a, b)

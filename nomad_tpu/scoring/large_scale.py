@@ -32,6 +32,29 @@ from ..parallel.mesh import data_mesh, grid_mesh, pad_to_multiple
 from .engine import EmbeddingEngine
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _score_fn(mesh: Mesh):
+    """Per-mesh cached jit (a fresh closure per call would recompile)."""
+    from ..ops.distance import cdist
+
+    @jax.jit
+    def f(a, b, m):
+        d = cdist(a, b)
+        d = jax.lax.with_sharding_constraint(
+            d, NamedSharding(mesh, P("row", "col"))
+        )
+        # padded NMR columns are excluded from the mean
+        valid = (jnp.arange(d.shape[1]) < m).astype(jnp.float32)
+        avg = jnp.sum(d * valid[None, :], axis=1) / m.astype(jnp.float32)
+        avg = jax.lax.with_sharding_constraint(avg, NamedSharding(mesh, P("row")))
+        return avg, d
+
+    return f
+
+
 @dataclass
 class LargeScaleScorer:
     engine: EmbeddingEngine
@@ -75,24 +98,7 @@ class LargeScaleScorer:
 
         a_dev = jax.device_put(a, NamedSharding(mesh, P("row", None)))
         b_dev = jax.device_put(b, NamedSharding(mesh, P("col", None)))
-
-        @jax.jit
-        def f(a, b):
-            from ..ops.distance import cdist
-
-            d = cdist(a, b)
-            d = jax.lax.with_sharding_constraint(
-                d, NamedSharding(mesh, P("row", "col"))
-            )
-            # padded NMR columns are excluded from the mean
-            valid = (jnp.arange(d.shape[1]) < m).astype(jnp.float32)
-            avg = jnp.sum(d * valid[None, :], axis=1) / float(m)
-            avg = jax.lax.with_sharding_constraint(
-                avg, NamedSharding(mesh, P("row"))
-            )
-            return avg, d
-
-        avg, dm = f(a_dev, b_dev)
+        avg, dm = _score_fn(mesh)(a_dev, b_dev, m)
         return np.asarray(avg)[:n], np.asarray(dm)[:n, :m]
 
 
