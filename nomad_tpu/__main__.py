@@ -13,9 +13,9 @@ import click
     type=str,
     default=None,
     help=(
-        "Used to specify a path file where to save both averaged Nomad scores "
-        "csv and Nomad scores csv for each non-matching reference used. "
-        "Default uses a current datetime format in results-csv."
+        "Output directory for the two score CSVs (per-file averages and the "
+        "full per-NMR matrix). When omitted, a timestamped folder is created "
+        "under ./results-csv."
     ),
 )
 @click.option(

@@ -149,29 +149,21 @@ class Nomad:
     def predict(self, mode="dir", nmr="data/nmr-data", deg="data/test-data",
                 results_path=None):
         if nmr is None:
-            raise Exception(
-                "nmr_path not specified, you need to pass a valid value to nmr_path"
-            )
+            raise Exception("missing nmr argument (non-matching reference path)")
         if deg is None:
-            raise Exception(
-                "test_path not specified, you need to pass a valide value to test_path"
-            )
+            raise Exception("missing deg argument (test/degraded path)")
         if mode == "dir":
             if not os.path.isdir(nmr):
-                raise Exception(
-                    f"Path to the non-matching reference files {nmr} does not exist"
-                )
+                raise Exception(f"nmr directory not found: {nmr}")
             if not os.path.isdir(deg):
-                raise Exception(f"Path to the test files {deg} does not exist")
+                raise Exception(f"deg directory not found: {deg}")
         elif mode == "csv":
             if not os.path.isfile(nmr):
-                raise Exception(f"File {nmr} does not exist")
+                raise Exception(f"nmr csv not found: {nmr}")
             if not os.path.isfile(deg):
-                raise Exception(f"File {deg} does not exist")
+                raise Exception(f"deg csv not found: {deg}")
         else:
-            raise Exception(
-                f"Mode value {mode} is not valid. Valid values are dir and csv"
-            )
+            raise Exception(f"unknown mode {mode!r}: expected 'dir' or 'csv'")
 
         print(f"Compute non-matching reference embeddings from {nmr}")
         nmr_paths = self._resolve_paths(nmr)
@@ -197,9 +189,8 @@ class Nomad:
             data = pd.read_csv(path)
             if "filename" not in data.columns:
                 raise Exception(
-                    f"File {path} not including a column called filename. Please "
-                    "pass a csv file with a column called filename that includes "
-                    "the absolute filpaths of the waveforms."
+                    f"csv {path} has no 'filename' column (expected one "
+                    "absolute wav path per row)"
                 )
             return list(data["filename"])
         raise Exception(f"Path {path} does not exist")

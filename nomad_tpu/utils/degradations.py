@@ -107,33 +107,45 @@ _STEREO_SPREAD = 23
 
 
 def _comb_filter(x, delay, feedback, damp):
-    y = np.zeros_like(x)
-    buf = np.zeros(delay, x.dtype)
-    store = 0.0
-    idx = 0
-    for i in range(len(x)):
-        out = buf[idx]
-        store = out * (1.0 - damp) + store * damp
-        buf[idx] = x[i] + store * feedback
-        y[i] = out
-        idx += 1
-        if idx == delay:
-            idx = 0
-    return y
+    """Freeverb lowpass-feedback comb, vectorized in blocks of D samples.
+
+    Sample recursion (write w, damped store s, tap y):
+        y[i] = w[i-D]
+        s[i] = (1-damp)*y[i] + damp*s[i-1]
+        w[i] = x[i] + feedback*s[i]
+    Within a block of D samples every delayed tap w[i-D] is already known,
+    so the only true recursion left is the one-pole store smoother — run as
+    an order-1 lfilter with carried state. O(N) instead of the O(N*D) a
+    dense IIR of order D would cost.
+    """
+    from scipy.signal import lfilter
+
+    n = len(x)
+    D = int(delay)
+    xf = x.astype(np.float64)
+    w = np.zeros(n + D)  # w[i] at array index D+i; first D entries = buffer
+    zi = np.zeros(1)
+    for start in range(0, n, D):
+        end = min(start + D, n)
+        y_blk = w[start:end]  # w[i-D]
+        s_blk, zi = lfilter([1.0 - damp], [1.0, -damp], y_blk, zi=zi)
+        w[D + start : D + end] = xf[start:end] + feedback * s_blk
+    return w[:n].astype(x.dtype)
 
 
 def _allpass_filter(x, delay):
-    y = np.zeros_like(x)
-    buf = np.zeros(delay, x.dtype)
-    idx = 0
-    for i in range(len(x)):
-        bufout = buf[idx]
-        y[i] = -x[i] + bufout
-        buf[idx] = x[i] + bufout * 0.5
-        idx += 1
-        if idx == delay:
-            idx = 0
-    return y
+    """Freeverb allpass (g=0.5):
+        w[i] = x[i] + 0.5*w[i-D];  y[i] = -x[i] + w[i-D]
+    Block form: within D samples all delayed taps are known, so each block
+    is a single vector op."""
+    n = len(x)
+    D = int(delay)
+    xf = x.astype(np.float64)
+    w = np.zeros(n + D)
+    for start in range(0, n, D):
+        end = min(start + D, n)
+        w[D + start : D + end] = xf[start:end] + 0.5 * w[start:end]
+    return (w[:n] - xf).astype(x.dtype)
 
 
 def _freeverb_mono(x, reverberance, hf_damping, room_scale, wet_gain, sr, offset=0):

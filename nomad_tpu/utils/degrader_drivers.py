@@ -35,19 +35,57 @@ def flac_to_wav(in_path: str, out_path: str, sr: int = 16000):
     write_wav(out_path, wave, sr, bits=16)
 
 
-def loudness_normalize(path: str, sr: int = 16000):
-    """ffmpeg-normalize equivalent: EBU R128 two-pass via ffmpeg loudnorm
-    when available; no-op (with warning) otherwise."""
-    if not D.have_ffmpeg():
-        warnings.warn("ffmpeg unavailable: skipping loudness normalization")
-        return
+def _ffmpeg_loudnorm_two_pass(path: str, sr: int, i=-23.0, tp=-2.0, lra=7.0):
+    """The ffmpeg-normalize recipe: pass 1 measures (loudnorm print_format=
+    json on a null muxer), pass 2 applies with the measured values and
+    linear=true. Returns False if either pass fails."""
+    import json as _json
+
+    flt = f"loudnorm=I={i}:LRA={lra}:TP={tp}:print_format=json"
+    proc = subprocess.run(
+        ["ffmpeg", "-hide_banner", "-i", path, "-af", flt, "-f", "null", "-"],
+        capture_output=True, text=True,
+    )
+    # the JSON block is the last {...} on stderr
+    err = proc.stderr
+    start = err.rfind("{")
+    if start < 0:
+        return False
+    try:
+        m = _json.loads(err[start : err.rfind("}") + 1])
+    except ValueError:
+        return False
+    flt2 = (
+        f"loudnorm=I={i}:LRA={lra}:TP={tp}"
+        f":measured_I={m['input_i']}:measured_LRA={m['input_lra']}"
+        f":measured_TP={m['input_tp']}:measured_thresh={m['input_thresh']}"
+        f":offset={m['target_offset']}:linear=true"
+    )
     tmp = path + ".norm.wav"
     subprocess.call(
-        ["ffmpeg", "-y", "-i", path, "-af", "loudnorm", "-ar", str(sr), tmp],
+        ["ffmpeg", "-y", "-i", path, "-af", flt2, "-ar", str(sr), tmp],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     if os.path.isfile(tmp):
         os.replace(tmp, path)
+        return True
+    return False
+
+
+def loudness_normalize(path: str, sr: int = 16000):
+    """EBU R128 two-pass normalize to I=-23 LUFS / TP=-2 dBTP — the
+    ffmpeg-normalize step the reference runs on every degraded training file
+    (`audio_degrader_training.py:70`). Uses ffmpeg's loudnorm (measure then
+    apply, linear) when ffmpeg is present; otherwise the native BS.1770-4
+    meter + linear gain (utils/loudness.py)."""
+    if D.have_ffmpeg() and _ffmpeg_loudnorm_two_pass(path, sr):
+        return
+    from ..io import read_wav, write_wav
+    from .loudness import normalize_loudness
+
+    x, sr_x = read_wav(path)
+    y, _info = normalize_loudness(x[0], sr_x)
+    write_wav(path, y[None], sr_x)
 
 
 @dataclass

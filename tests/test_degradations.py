@@ -80,6 +80,59 @@ def test_reverb_adds_tail_energy(tmp_path, rng):
     assert np.max(np.abs(y)) <= 1.0
 
 
+def _comb_loop(x, delay, feedback, damp):
+    """Sample-by-sample freeverb comb (the round-1 implementation), kept as
+    the oracle for the vectorized lfilter form."""
+    y = np.zeros_like(x)
+    buf = np.zeros(delay, x.dtype)
+    store = 0.0
+    idx = 0
+    for i in range(len(x)):
+        out = buf[idx]
+        store = out * (1.0 - damp) + store * damp
+        buf[idx] = x[i] + store * feedback
+        y[i] = out
+        idx = (idx + 1) % delay
+    return y
+
+
+def _allpass_loop(x, delay):
+    y = np.zeros_like(x)
+    buf = np.zeros(delay, x.dtype)
+    idx = 0
+    for i in range(len(x)):
+        bufout = buf[idx]
+        y[i] = -x[i] + bufout
+        buf[idx] = x[i] + bufout * 0.5
+        idx = (idx + 1) % delay
+    return y
+
+
+def test_vectorized_filters_match_sample_loop(rng):
+    x = rng.standard_normal(4000).astype(np.float32) * 0.3
+    for delay in (1, 7, 225, 1617):
+        got = D._comb_filter(x, delay, feedback=0.84, damp=0.2)
+        want = _comb_loop(x, delay, feedback=0.84, damp=0.2)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+    for delay in (1, 225, 556):
+        got = D._allpass_filter(x, delay)
+        want = _allpass_loop(x, delay)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_reverb_speed(tmp_path):
+    # the vectorized path must handle a 10 s file in well under a second
+    # (the loop form took minutes)
+    import time
+
+    x = np.sin(np.arange(160000) / 40.0).astype(np.float32) * 0.5
+    p = str(tmp_path / "long.wav")
+    write_wav(p, x[None], 16000, bits=16)
+    t0 = time.time()
+    D.reverb(p, str(tmp_path / "long_rev.wav"), p=50)
+    assert time.time() - t0 < 2.0
+
+
 def test_reverb_intensity_monotone(tmp_path):
     x = np.zeros(6000, np.float32)
     x[50] = 0.8

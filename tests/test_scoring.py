@@ -154,11 +154,11 @@ def test_predict_validation_errors(tiny_setup, tmp_path):
 
     cfg, oracle, model, params = tiny_setup
     nomad = Nomad(config=cfg, emb_dim=16, params=params)
-    with pytest.raises(Exception, match="does not exist"):
+    with pytest.raises(Exception, match="not found"):
         nomad.predict("dir", str(tmp_path / "nope"), str(tmp_path))
-    with pytest.raises(Exception, match="not valid"):
+    with pytest.raises(Exception, match="unknown mode"):
         nomad.predict("banana", str(tmp_path), str(tmp_path))
-    with pytest.raises(Exception, match="nmr_path not specified"):
+    with pytest.raises(Exception, match="missing nmr"):
         nomad.predict("dir", None, str(tmp_path))
 
 
