@@ -9,8 +9,18 @@ torch-CPU reference pipeline (HF wav2vec2 batch-1 loop + scipy cdist, the
 faithful stand-in for the fairseq reference; measured once on this host and
 cached in bench_cpu_baseline.json).
 
-Config knobs via env: BENCH_N_DEG (default 256), BENCH_N_NMR (32),
-BENCH_SECONDS (10), BENCH_ATTN (xla|pallas), BENCH_REPEATS (5), BENCH_MESH.
+The headline number is the in-memory waveform pipeline (decoded PCM16 ->
+embeddings -> distance matrix, host->device transfer included). detail
+also reports:
+  * file_mode_wss  — same pipeline from .wav files on disk through the
+    native C++ ingest (decode/pad/batch), i.e. the full cold path
+  * compute_wss    — data-resident compute ceiling (no transfer)
+  * h2d_MBps       — measured host->device bandwidth at run time (the axon
+    relay swings ~8-65 MB/s between runs; this field explains variance)
+
+Config via env: BENCH_N_DEG (256), BENCH_N_NMR (32), BENCH_SECONDS (10),
+BENCH_PRECISION (fast|exact), BENCH_ATTN (xla|pallas), BENCH_REPEATS (5),
+BENCH_MESH, BENCH_FILE_MODE (1 to include the file leg).
 """
 
 from __future__ import annotations
@@ -18,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -66,15 +77,41 @@ def measure_cpu_baseline(seconds: float, n_files: int = 3) -> float:
     return rate
 
 
+def measure_h2d_bandwidth() -> float:
+    """Instantaneous host->device rate (MB/s) on bench-like int16 payload."""
+    import jax
+    import jax.numpy as jnp
+
+    arr = np.concatenate([np.asarray(w) for w in synth_waves(8, 10.0, seed=9)])
+    arr = np.stack([arr] * 2)  # ~5 MB
+    jax.device_put(arr[:1, :100])
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        d = jax.device_put(arr)
+        _ = np.asarray(jnp.sum(d[..., ::65536].astype(jnp.int32)))
+        best = min(best, time.time() - t0)
+    return arr.nbytes / 1e6 / best
+
+
 def main():
     n_deg = int(os.environ.get("BENCH_N_DEG", 256))
     n_nmr = int(os.environ.get("BENCH_N_NMR", 32))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
     attn = os.environ.get("BENCH_ATTN", "xla")
+    # 'exact' is the parity configuration (the 1e-3 demo-score budget holds
+    # with ~2e-5 margin); 'fast' trades up to ~2e-3 pairwise-score delta on
+    # speech-like input for ~1.25x compute (see Wav2Vec2Config.fast)
+    precision = os.environ.get("BENCH_PRECISION", "exact")
     repeats = int(os.environ.get("BENCH_REPEATS", 5))
+    file_mode = os.environ.get("BENCH_FILE_MODE", "1") != "0"
 
     # CPU baseline first (torch must not see the TPU; it is CPU-only anyway)
     baseline = measure_cpu_baseline(seconds)
+
+    from nomad_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
@@ -92,7 +129,8 @@ def main():
 
         mesh = data_mesh()
 
-    cfg = Wav2Vec2Config.base(attention_impl=attn)
+    mk = Wav2Vec2Config.fast if precision == "fast" else Wav2Vec2Config.base
+    cfg = mk(attention_impl=attn)
     model = NomadModel(cfg, emb_dim=256)
     # weights: converted checkpoint if present, else seeded random (values
     # don't affect throughput)
@@ -131,6 +169,52 @@ def main():
 
     total_wav_sec = (n_deg + n_nmr) * seconds
     value = total_wav_sec / best / (n_dev if mesh is not None else 1)
+
+    # --- secondary legs for the detail record ---
+    h2d = measure_h2d_bandwidth()
+
+    # compute-only ceiling: one resident bucket batch
+    blen = 1 << int(np.ceil(np.log2(seconds * 16000)))
+    from nomad_tpu.scoring.engine import bucket_length
+
+    blen = bucket_length(int(seconds * 16000))
+    bsz = engine.batch_size_for(blen)
+    wave_dev = jax.device_put(
+        np.stack([np.pad(np.asarray(deg[i], np.float32) / 32768.0,
+                         (0, blen - len(deg[i]))) for i in range(bsz)])
+    )
+    len_dev = jax.device_put(np.full((bsz,), int(seconds * 16000), np.int32))
+    fn = jax.jit(lambda p, w, l: model.apply(p, w, lengths=l))
+    pdev = jax.device_put(params)
+    np.asarray(fn(pdev, wave_dev, len_dev))
+    tbest = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        r = fn(pdev, wave_dev, len_dev)
+        np.asarray(r)
+        tbest = min(tbest, time.time() - t0)
+    compute_wss = bsz * seconds / tbest
+
+    file_wss = None
+    if file_mode and mesh is None:
+        from nomad_tpu.io import write_wav
+
+        with tempfile.TemporaryDirectory() as td:
+            paths = []
+            for i, w in enumerate(deg + nmr):
+                p = os.path.join(td, f"f{i:04d}.wav")
+                write_wav(p, (np.asarray(w, np.float32) / 32768.0)[None],
+                          16000, bits=16)
+                paths.append(p)
+            emb = engine.embed_files(paths)  # warm (shapes already compiled)
+            fbest = np.inf
+            for _ in range(max(1, repeats - 2)):
+                t0 = time.time()
+                emb = engine.embed_files(paths)
+                np.asarray(cdist(emb[:n_deg], emb[n_deg:]))
+                fbest = min(fbest, time.time() - t0)
+            file_wss = total_wav_sec / fbest
+
     result = {
         "metric": "scoring_throughput",
         "value": round(value, 2),
@@ -140,9 +224,13 @@ def main():
             "n_deg": n_deg,
             "n_nmr": n_nmr,
             "seconds_per_file": seconds,
+            "precision": precision,
             "attention": attn,
             "warmup_s": round(warm, 2),
             "steady_s": round(best, 3),
+            "compute_wss": round(compute_wss, 1),
+            "file_mode_wss": round(file_wss, 1) if file_wss else None,
+            "h2d_MBps": round(h2d, 1),
             "cpu_baseline_wav_sec_per_sec": round(baseline, 2),
             "backend": jax.default_backend(),
             "n_devices": n_dev,

@@ -74,8 +74,28 @@ class Nomad:
         emb_dim: int = 256,
         params: Optional[dict] = None,
         mesh=None,
+        precision: str = "exact",
     ):
-        self.config = config or Wav2Vec2Config.base()
+        from .utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        if config is None:
+            # 'exact' (default) = 'high' MXU precision everywhere, ~2e-5
+            # from the f32 oracle — inside the 1e-3 demo-score budget with
+            # two decades of margin. 'fast' = measured mixed-precision
+            # recipe (single-pass bf16 transformer matmuls, f32 islands),
+            # ~1.25x faster; its max pairwise-score delta measured 0.8e-3
+            # on steady tones but 1.9e-3 on pause-heavy speech-like input
+            # (round-2 verification), so it is opt-in, not the default.
+            if precision == "fast":
+                config = Wav2Vec2Config.fast()
+            elif precision == "exact":
+                config = Wav2Vec2Config.base()
+            else:
+                raise ValueError(
+                    f"unknown precision {precision!r}: expected 'fast' or 'exact'"
+                )
+        self.config = config
         self.emb_dim = emb_dim
         self.weights_dir = weights_dir
         self.mesh = mesh
@@ -91,18 +111,47 @@ class Nomad:
         print(f"NOMAD running on: {self.DEVICE}")
 
         self.model = NomadModel(self.config, emb_dim=emb_dim)
-        self.params = params if params is not None else self._resolve_params()
-        self.engine = EmbeddingEngine(
-            self.model, self.params, mesh=mesh, device=self._device
-        )
+        # params/engine resolve lazily: checkpoint load/convert (or the
+        # seeded init, itself a jit compile) costs seconds-to-minutes on a
+        # remote-compile backend, and argument errors in predict() must
+        # surface before any of it runs (round-2 verification: a bad --mode
+        # used to take ~100 s to be rejected).
+        self._params = params
+        self._engine = None
         self._loss_apply = None
         self._params_dev = None
+
+    @property
+    def params(self) -> dict:
+        if self._params is None:
+            self._params = self._resolve_params()
+        return self._params
+
+    @params.setter
+    def params(self, value):
+        self._params = value
+        self._engine = None
+        self._params_dev = None
+
+    @property
+    def engine(self) -> EmbeddingEngine:
+        if self._engine is None:
+            self._engine = EmbeddingEngine(
+                self.model, self.params, mesh=self.mesh, device=self._device
+            )
+        return self._engine
 
     # ---------------- weights ----------------
 
     def _init_params(self):
         wav = jnp.zeros((1, 4000), jnp.float32)
-        return self.model.init(jax.random.key(0), wav, method=NomadModel.init_all)
+        # init on host: the seeded random init needs no accelerator, and
+        # jitting it through a remote-compile service wastes ~a minute
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = self.model.init(
+                jax.random.key(0), wav, method=NomadModel.init_all
+            )
+        return jax.device_get(params)
 
     def _resolve_params(self) -> dict:
         cache = os.path.join(self.weights_dir, CACHE_FILENAME)

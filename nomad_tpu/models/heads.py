@@ -64,9 +64,16 @@ class NomadModel(nn.Module):
         )
 
     def _embed(self, head, x, frame_lengths):
+        # f32 island: whatever dtype the block stack ran in (bf16 in the
+        # 'fast' recipe), the time pool, ReLU, 256-d head and L2 normalize
+        # run in f32 at 'high' MXU precision — the head matmul is tiny and
+        # the pooled mean is the quantity the score budget is written
+        # against.
+        x = x.astype(jnp.float32)
         pooled = masked_mean(x, frame_lengths if self.masked_pool else None)
-        e = head(jax.nn.relu(pooled))
-        return l2_normalize(e, axis=-1)
+        with jax.default_matmul_precision("high"):
+            e = head(jax.nn.relu(pooled))
+        return l2_normalize(e.astype(jnp.float32), axis=-1)
 
     def __call__(self, wav, lengths=None, deterministic: bool = True):
         res = self.backbone(wav, lengths=lengths, deterministic=deterministic)
@@ -90,7 +97,8 @@ class NomadModel(nn.Module):
         """Origw2v: raw mean-pooled backbone features [B, 768]."""
         res = self.backbone(wav, lengths=lengths, deterministic=deterministic)
         return masked_mean(
-            res["x"], res["frame_lengths"] if self.masked_pool else None
+            res["x"].astype(jnp.float32),
+            res["frame_lengths"] if self.masked_pool else None,
         )
 
 

@@ -71,7 +71,50 @@ class Wav2Vec2Config:
     # default here), 'highest' (fp32). Measured in the round-1 precision
     # study; see tests/test_oracle_parity.py for the CPU-side guarantee.
     matmul_precision: str = "high"
+    # Mixed-precision islands (round-2 study, NOTES_ROUND2.md): override the
+    # global matmul_precision per region. None = inherit matmul_precision.
+    #   frontend_precision — conv feature encoder, feature projection and
+    #       positional conv (the numerically sensitive, GroupNorm-amplified
+    #       front of the net)
+    #   encoder_precision  — the 12 transformer blocks' matmuls (where the
+    #       FLOPs are; post-LN renormalization keeps bf16 error contained)
+    #   encoder_dtype      — activation dtype inside the block stack (bf16
+    #       halves HBM traffic; LayerNorm/softmax stats stay f32; the final
+    #       mean-pool + scoring head always run as an f32 island)
+    frontend_precision: Any = None
+    encoder_precision: Any = None
+    encoder_dtype: Any = None
     layernorm_impl: str = "xla"     # 'xla' | 'pallas' (fused kernel)
+
+    @property
+    def frontend_prec(self):
+        return self.frontend_precision or self.matmul_precision
+
+    @property
+    def encoder_prec(self):
+        return self.encoder_precision or self.matmul_precision
+
+    @property
+    def block_dtype(self):
+        return self.encoder_dtype if self.encoder_dtype is not None else self.dtype
+
+    @classmethod
+    def fast(cls, **kw) -> "Wav2Vec2Config":
+        """Round-2 mixed-precision recipe: f32 activations with single-pass
+        bf16 MXU matmuls in the transformer ('default' precision) and f32
+        islands everywhere precision-critical (conv frontend + projections
+        at 'high', norm statistics, mean-pool, scoring head). ~1.25x parity
+        throughput. Max pairwise-score error vs the f32 path measured
+        0.8e-3 on steady tones but 1.9e-3 on pause-heavy speech-like input
+        — at the 1e-3 demo budget's edge, so scoring defaults to 'exact'
+        and this is opt-in (Nomad(precision='fast')). bf16 *activations*
+        were rejected outright: 0.6-1.3e-3 swing (NOTES_ROUND2.md)."""
+        defaults = dict(
+            frontend_precision="high",
+            encoder_precision="default",
+        )
+        defaults.update(kw)
+        return cls(**defaults)
 
     def __post_init__(self):
         if self.hidden_size % self.num_heads:
@@ -256,7 +299,7 @@ class EncoderLayer(nn.Module):
         d = cfg.hidden_size
         head_dim = d // h
         dense = partial(
-            nn.Dense, dtype=cfg.dtype, param_dtype=jnp.float32, use_bias=True
+            nn.Dense, dtype=cfg.block_dtype, param_dtype=jnp.float32, use_bias=True
         )
         ln = partial(
             LayerNormOp,
@@ -332,13 +375,14 @@ class TransformerEncoder(nn.Module):
             key_mask = jnp.arange(x.shape[1])[None, :] < frame_lengths[:, None]
             x = x * key_mask.astype(x.dtype)[:, :, None]
 
-        x = x + PositionalConvEmbedding(cfg, name="pos_conv")(x)
-        x = LayerNormOp(
-            cfg.hidden_size,
-            epsilon=cfg.layer_norm_eps,
-            impl=cfg.layernorm_impl,
-            name="layer_norm",
-        )(x)
+        with jax.default_matmul_precision(cfg.frontend_prec):
+            x = x + PositionalConvEmbedding(cfg, name="pos_conv")(x)
+            x = LayerNormOp(
+                cfg.hidden_size,
+                epsilon=cfg.layer_norm_eps,
+                impl=cfg.layernorm_impl,
+                name="layer_norm",
+            )(x)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
         if key_mask is not None:
             x = x * key_mask.astype(x.dtype)[:, :, None]
@@ -351,7 +395,9 @@ class TransformerEncoder(nn.Module):
             out_axes=0,
             length=cfg.num_layers,
         )(cfg, name="layers")
-        _, layer_outs = scanned(x, key_mask, deterministic)
+        with jax.default_matmul_precision(cfg.encoder_prec):
+            _, layer_outs = scanned(x.astype(cfg.block_dtype), key_mask,
+                                    deterministic)
         return layer_outs  # [L, B, T, C]
 
 
@@ -373,21 +419,22 @@ class Wav2Vec2Model(nn.Module):
 
     def _forward(self, wav, lengths, deterministic):
         cfg = self.config
-        feats, frame_lengths = ConvFeatureEncoder(cfg, name="feature_encoder")(
-            wav, lengths
-        )
-        x = LayerNormOp(
-            cfg.conv_dim[-1],
-            epsilon=cfg.layer_norm_eps,
-            impl=cfg.layernorm_impl,
-            name="feature_layer_norm",
-        )(feats)
-        x = nn.Dense(
-            cfg.hidden_size,
-            dtype=cfg.dtype,
-            param_dtype=jnp.float32,
-            name="post_extract_proj",
-        )(x)
+        with jax.default_matmul_precision(cfg.frontend_prec):
+            feats, frame_lengths = ConvFeatureEncoder(cfg, name="feature_encoder")(
+                wav, lengths
+            )
+            x = LayerNormOp(
+                cfg.conv_dim[-1],
+                epsilon=cfg.layer_norm_eps,
+                impl=cfg.layernorm_impl,
+                name="feature_layer_norm",
+            )(feats)
+            x = nn.Dense(
+                cfg.hidden_size,
+                dtype=cfg.dtype,
+                param_dtype=jnp.float32,
+                name="post_extract_proj",
+            )(x)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
         if frame_lengths is not None:
             x = x * _time_mask(x.shape[1], frame_lengths, x.dtype)

@@ -34,12 +34,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_kv: int,
-                  precision=None):
+def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                  block_k: int, t_kv: int, precision=None):
     """One (batch*head, q-block) program: online softmax over K/V blocks.
 
     len_ref: [BH] int32 in SMEM (scalar-prefetched valid key counts)
-    q_ref/o_ref: [1, block_q, D] VMEM; k_ref/v_ref: [1, T_kv, D] VMEM.
+    q_ref/o_ref: [1, block_q, D] VMEM; k_ref/v_ref: [1, T_kv, D] VMEM;
+    lse_ref: [1, block_q] VMEM (log-sum-exp saved for the backward).
     """
     g = pl.program_id(0)
     kv_len = len_ref[g]
@@ -71,6 +72,7 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_kv: in
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(p, v_blk, (((1,), (0,)), ((), ())), **dot_kw)
         o_ref[0] = (o / l).astype(o_ref.dtype)
+        lse_ref[0] = (m + jnp.log(l))[:, 0]
         return
 
     def body(i, carry):
@@ -93,8 +95,9 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int, t_kv: in
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
     acc0 = jnp.zeros((block_q, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l))[:, 0]
 
 
 @functools.partial(
@@ -117,9 +120,15 @@ def _flash_folded(q, k, v, lengths, block_q: int, block_k: int, interpret: bool,
                 pl.BlockSpec((1, t, d), lambda g, i, lens: (g, 0, 0)),
                 pl.BlockSpec((1, t, d), lambda g, i, lens: (g, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, lens: (g, i, 0)),
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda g, i, lens: (g, i, 0)),
+                pl.BlockSpec((1, block_q), lambda g, i, lens: (g, i)),
+            ],
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, t), jnp.float32),
+        ],
         # 'arbitrary' on the q-block axis keeps the revisited K/V blocks
         # resident in VMEM across q iterations
         compiler_params=pltpu.CompilerParams(
@@ -129,18 +138,15 @@ def _flash_folded(q, k, v, lengths, block_q: int, block_k: int, interpret: bool,
     )(lengths, q, k, v)
 
 
-def _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret,
-                         precision=None):
+def _fold_args(q, k, v, key_mask, block_q, block_k):
+    """[B, T, H, D] tensors -> folded [B*H, T_pad, D] plus per-row lengths."""
     b, t, h, d = q.shape
     if key_mask is not None:
         lengths = jnp.sum(key_mask.astype(jnp.int32), axis=-1)
     else:
         lengths = jnp.full((b,), t, jnp.int32)
-
     t_pad = _round_up(t, max(block_q, block_k))
-    assert t_pad % block_q == 0 and t_pad % block_k == 0, (
-        t, block_q, block_k,
-    )
+    assert t_pad % block_q == 0 and t_pad % block_k == 0, (t, block_q, block_k)
     pad = t_pad - t
 
     def prep(x):
@@ -149,13 +155,176 @@ def _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret,
             x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
         return x.reshape(b * h, t_pad, d)
 
+    lens = jnp.repeat(lengths.astype(jnp.int32), h)
+    return prep, lens, t_pad
+
+
+def _unfold(x, b, h, t, d):
+    return jnp.swapaxes(x.reshape(b, h, -1, d)[:, :, :t, :], 1, 2)
+
+
+def _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret,
+                         precision=None, want_lse=False):
+    b, t, h, d = q.shape
+    prep, lens, t_pad = _fold_args(q, k, v, key_mask, block_q, block_k)
     # padded query rows produce garbage that downstream masking re-zeroes;
     # padded keys are excluded by lengths (lengths <= t <= t_pad)
-    lens = jnp.repeat(lengths.astype(jnp.int32), h)
-    out = _flash_folded(prep(q), prep(k), prep(v), lens, block_q, block_k,
-                        interpret, precision)
-    out = out.reshape(b, h, t_pad, d)[:, :, :t, :]
-    return jnp.swapaxes(out, 1, 2)  # [B, T, H, D]
+    out, lse = _flash_folded(prep(q), prep(k), prep(v), lens, block_q,
+                             block_k, interpret, precision)
+    out = _unfold(out, b, h, t, d)  # [B, T, H, D]
+    if want_lse:
+        return out, lse
+    return out
+
+
+def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         di_ref, dq_ref, *, block_k: int, t_kv: int,
+                         precision=None):
+    """dQ for one (batch*head, q-block) program; K/V stay VMEM-resident
+    across q blocks (same layout trick as the forward)."""
+    g = pl.program_id(0)
+    kv_len = len_ref[g]
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    di = di_ref[0][:, None]
+    d = q.shape[-1]
+    block_q = q.shape[0]
+    scale = 1.0 / (d**0.5)
+    dot_kw = dict(
+        preferred_element_type=jnp.float32,
+        precision=precision or jax.lax.Precision.DEFAULT,
+    )
+    num_kb = t_kv // block_k
+
+    def body(i, acc):
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), **dot_kw
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(col + i * block_k < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())), **dot_kw)
+        ds = p * (dp - di)
+        return acc + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), **dot_kw
+        )
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    acc = jax.lax.fori_loop(0, num_kb, body, acc0)
+    dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(len_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
+                          di_ref, dk_ref, dv_ref, *, block_q: int, t_q: int,
+                          precision=None):
+    """dK/dV for one (batch*head, kv-block) program; Q/dO/LSE/Di stay
+    VMEM-resident across kv blocks."""
+    g = pl.program_id(0)
+    j = pl.program_id(1)
+    kv_len = len_ref[g]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    d = k.shape[-1]
+    block_k = k.shape[0]
+    scale = 1.0 / (d**0.5)
+    dot_kw = dict(
+        preferred_element_type=jnp.float32,
+        precision=precision or jax.lax.Precision.DEFAULT,
+    )
+    num_qb = t_q // block_q
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+    valid_kv = row + j * block_k < kv_len  # [bk, 1]
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse_blk = lse_ref[0, pl.ds(i * block_q, block_q)][None, :]
+        di_blk = di_ref[0, pl.ds(i * block_q, block_q)][None, :]
+        # s^T: [bk, bq]
+        st = scale * jax.lax.dot_general(
+            k, q_blk, (((1,), (1,)), ((), ())), **dot_kw
+        )
+        st = jnp.where(valid_kv, st, NEG_INF)
+        pt = jnp.exp(st - lse_blk)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            pt, do_blk, (((1,), (0,)), ((), ())), **dot_kw
+        )
+        dpt = jax.lax.dot_general(v, do_blk, (((1,), (1,)), ((), ())), **dot_kw)
+        dst = pt * (dpt - di_blk)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            dst, q_blk, (((1,), (0,)), ((), ())), **dot_kw
+        )
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((block_k, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_qb, body, (z, z))
+    dk_ref[0] = (scale * dk_acc).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "precision")
+)
+def _flash_bwd_folded(q, k, v, do, lse, di, lengths, block_q: int,
+                      block_k: int, interpret: bool, precision=None):
+    """Folded backward: q/k/v/do [B*H, T, D]; lse/di [B*H, T] f32."""
+    bh, t, d = q.shape
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, t_kv=t,
+                          precision=precision),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, t // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda g, i, lens: (g, i, 0)),
+                pl.BlockSpec((1, t, d), lambda g, i, lens: (g, 0, 0)),
+                pl.BlockSpec((1, t, d), lambda g, i, lens: (g, 0, 0)),
+                pl.BlockSpec((1, block_q, d), lambda g, i, lens: (g, i, 0)),
+                pl.BlockSpec((1, block_q), lambda g, i, lens: (g, i)),
+                pl.BlockSpec((1, block_q), lambda g, i, lens: (g, i)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, lens: (g, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, q, k, v, do, lse, di)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, t_q=t,
+                          precision=precision),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, t // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_k, d), lambda g, j, lens: (g, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda g, j, lens: (g, j, 0)),
+                pl.BlockSpec((1, t, d), lambda g, j, lens: (g, 0, 0)),
+                pl.BlockSpec((1, t, d), lambda g, j, lens: (g, 0, 0)),
+                pl.BlockSpec((1, t), lambda g, j, lens: (g, 0)),
+                pl.BlockSpec((1, t), lambda g, j, lens: (g, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, d), lambda g, j, lens: (g, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda g, j, lens: (g, j, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, t, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, t, d), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, k, v, q, do, lse, di)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -165,16 +334,33 @@ def _mha_pallas(q, k, v, key_mask, block_q, block_k, interpret, precision):
 
 
 def _mha_pallas_fwd(q, k, v, key_mask, block_q, block_k, interpret, precision):
-    out = _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k, interpret,
-                               precision)
-    return out, (q, k, v, key_mask)
+    out, lse = _mha_pallas_fwd_impl(q, k, v, key_mask, block_q, block_k,
+                                    interpret, precision, want_lse=True)
+    return out, (q, k, v, key_mask, out, lse)
 
 
 def _mha_pallas_bwd(block_q, block_k, interpret, precision, res, g):
-    q, k, v, key_mask = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: mha_xla(q_, k_, v_, key_mask), q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    """Flash backward: recomputes P blockwise from the saved LSE — no
+    [B, H, T, T] materialization (the round-1 fallback re-ran full XLA
+    einsum attention here, negating the kernel's memory win for training)."""
+    q, k, v, key_mask, out, lse = res
+    b, t, h, d = q.shape
+    prep, lens, t_pad = _fold_args(q, k, v, key_mask, block_q, block_k)
+    # d_i = rowsum(dO * O) per query row (cheap XLA elementwise+reduce)
+    di = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    di = jnp.swapaxes(di, 1, 2).reshape(b * h, t)  # [BH, T]
+    if t_pad != t:
+        di = jnp.pad(di, ((0, 0), (0, t_pad - t)))
+    dq, dk, dv = _flash_bwd_folded(
+        prep(q), prep(k), prep(v), prep(g), lse, di, lens,
+        block_q, block_k, interpret, precision,
+    )
+    return (
+        _unfold(dq, b, h, t, d).astype(q.dtype),
+        _unfold(dk, b, h, t, d).astype(k.dtype),
+        _unfold(dv, b, h, t, d).astype(v.dtype),
+        None,
+    )
 
 
 _mha_pallas.defvjp(_mha_pallas_fwd, _mha_pallas_bwd)

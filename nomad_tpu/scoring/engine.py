@@ -64,8 +64,17 @@ class EmbeddingEngine:
     device: Optional[object] = None  # explicit jax.Device (mesh wins if set)
     batch_sample_budget: int = DEFAULT_BATCH_SAMPLE_BUDGET
     io_threads: int = 16
+    parallel_put_min_bytes: int = 4 << 20
     _jitted: dict = field(default_factory=dict, repr=False)
     _params_device: Optional[object] = field(default=None, repr=False)
+    _put_pool: ThreadPoolExecutor = field(
+        default_factory=lambda: ThreadPoolExecutor(max_workers=8), repr=False
+    )
+
+    def __post_init__(self):
+        from ..utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
 
     def _get_fn(self, batch: int, length: int, int16: bool = False) -> Callable:
         key = (batch, length, int16)
@@ -94,16 +103,31 @@ class EmbeddingEngine:
         return fn
 
     def _put(self, batch: np.ndarray, lengths: np.ndarray):
-        """Async host->device placement (sharded when a mesh is set)."""
+        """Async host->device placement (sharded when a mesh is set).
+
+        Single-device path: large batches are split into row chunks pushed
+        over parallel streams. The axon relay (and PCIe DMA generally)
+        sustains ~2x the single-stream rate with 4-8 concurrent transfers
+        (round-2 transfer study); the chunks are stitched back with one
+        device-side concatenate that costs an HBM copy, noise next to the
+        wire time."""
         if self.mesh is not None:
             sh = batch_sharding(self.mesh)
             return jax.device_put(batch, sh), jax.device_put(
                 lengths.astype(np.int32), sh
             )
-        return (
-            jax.device_put(batch, self.device),
-            jax.device_put(lengths.astype(np.int32), self.device),
-        )
+        if batch.nbytes >= self.parallel_put_min_bytes and batch.shape[0] > 1:
+            n = min(8, batch.shape[0],
+                    max(2, batch.nbytes // self.parallel_put_min_bytes))
+            rows = np.array_split(batch, n, axis=0)
+            dev = self.device
+            parts = list(self._put_pool.map(
+                lambda r: jax.device_put(r, dev), rows
+            ))
+            put = jnp.concatenate(parts, axis=0)
+        else:
+            put = jax.device_put(batch, self.device)
+        return put, jax.device_put(lengths.astype(np.int32), self.device)
 
     @staticmethod
     def _maybe_int16(batch: np.ndarray):

@@ -51,14 +51,19 @@ def si_sdr(estimate: np.ndarray, clean: np.ndarray, eps: float = 1e-8) -> float:
 
 
 def _try_pesq_batch(sr, ref, deg):
+    """Mean PESQ-WB over a batch: pip's C extension when installed (exact
+    ITU code), else the native P.862 implementation (utils/pesq.py) — the
+    reference scores SE checkpoints this way (`nomad_loss_test.py:96-108`)."""
     try:
         from pesq import pesq_batch
-
-        scores = pesq_batch(fs=sr, ref=ref, deg=deg, mode="wb")
-        return float(np.mean([x for x in np.asarray(scores).ravel()
-                              if isinstance(x, float) or np.isreal(x)]))
     except ImportError:
-        return None
+        from ..utils.pesq import pesq_batch
+
+        scores = pesq_batch(sr, np.asarray(ref), np.asarray(deg), mode="wb")
+        return float(np.mean(scores))
+    scores = pesq_batch(fs=sr, ref=ref, deg=deg, mode="wb")
+    return float(np.mean([x for x in np.asarray(scores).ravel()
+                          if isinstance(x, float) or np.isreal(x)]))
 
 
 class SpeechEnhancement:

@@ -25,7 +25,13 @@ def main():
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--se-bs", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=4)
+    ap.add_argument("--attn", choices=("xla", "pallas"), default="xla")
+    ap.add_argument("--remat", type=int, default=1)
     args = ap.parse_args()
+
+    from nomad_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
@@ -35,7 +41,7 @@ def main():
     from nomad_tpu.scoring.engine import bucket_length
     from nomad_tpu.training.triplet import Training
 
-    cfg = Wav2Vec2Config.base()
+    cfg = Wav2Vec2Config.base(attention_impl=args.attn)
     model = NomadModel(cfg, emb_dim=256)
     with jax.default_device(jax.devices("cpu")[0]):
         params = model.init(
@@ -52,7 +58,7 @@ def main():
     )
     import dataclasses
 
-    tr.model_config = dataclasses.replace(cfg, remat=True)
+    tr.model_config = dataclasses.replace(cfg, remat=bool(args.remat))
     tr.model = NomadModel(tr.model_config, emb_dim=256)
     tr.margin = 0.2
     tr._build_optimizer()
@@ -108,6 +114,7 @@ def main():
         "triplet_wav_sec_per_sec": round(3 * B * args.seconds / (train_ms / 1e3), 1),
         "se_loss_grad_ms": round(se_ms, 1),
         "detail": {"bs": B, "seconds": args.seconds, "se_bs": args.se_bs,
+                   "attn": args.attn, "remat": bool(args.remat),
                    "compile_s": round(compile_s, 1),
                    "backend": jax.default_backend()},
     }))

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Round-2 mixed-precision study: throughput vs embedding/score error for
+per-region precision recipes on the real chip.
+
+Ground truth = TPU 'highest' (true f32 MXU) embeddings; round 1 showed
+'high' sits ~1e-5 from the CPU/torch oracle, 'highest' a few 1e-6.
+
+Writes one JSON line per recipe to scripts/precision_sweep_results.jsonl and
+prints a markdown table at the end. Also exercises the persistent
+compilation cache (jax_compilation_cache_dir): run twice and compare
+compile times to see whether the axon backend honors it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from nomad_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+from nomad_tpu.models import NomadModel, Wav2Vec2Config  # noqa: E402
+from nomad_tpu.ops import cdist  # noqa: E402
+
+SECONDS = 10.0
+SR = 16000
+N_DEG, N_NMR = 48, 16
+BATCH = 32
+PAD = 163840  # bucket_length(160000)
+
+RECIPES = {
+    # name: (matmul_precision, frontend_precision, encoder_precision,
+    #        encoder_dtype, attention_impl)
+    "highest_ref": ("highest", None, None, None, "xla"),
+    "parity_high": ("high", None, None, None, "xla"),
+    "default_f32": ("default", None, None, None, "xla"),
+    "high_bf16": ("high", None, None, jnp.bfloat16, "xla"),
+    "fast": ("high", "high", "default", jnp.bfloat16, "xla"),
+    "fast_frontdefault": ("high", "default", "default", jnp.bfloat16, "xla"),
+    "fast_pallas": ("high", "high", "default", jnp.bfloat16, "pallas"),
+    "fast_f32act": ("high", "high", "default", None, "xla"),
+}
+
+
+def synth(n, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(SECONDS * SR)) / SR
+    out = np.zeros((n, PAD), np.float32)
+    for i in range(n):
+        f0 = 80.0 + 40.0 * rng.random()
+        x = 0.1 * np.sin(2 * np.pi * f0 * t) + 0.02 * rng.standard_normal(t.shape)
+        out[i, : len(t)] = x
+    return out
+
+
+def main():
+    out_path = os.path.join(os.path.dirname(__file__), "precision_sweep_results.jsonl")
+    results = []
+
+    waves = np.concatenate([synth(N_DEG, 2), synth(N_NMR, 3)])  # [64, PAD]
+    lengths = np.full((waves.shape[0],), SR * int(SECONDS), np.int32)
+    n_batches = waves.shape[0] // BATCH
+
+    # params once (CPU init, shared across recipes: same values)
+    cfg0 = Wav2Vec2Config.base()
+    model0 = NomadModel(cfg0, emb_dim=256)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model0.init(
+            jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
+        )
+    params = jax.device_put(jax.device_get(params))
+    waves_dev = jax.device_put(waves)
+    lengths_dev = jax.device_put(lengths)
+
+    ref_emb = None
+    for name, (mp, fp, ep, edt, attn) in RECIPES.items():
+        cfg = Wav2Vec2Config.base(
+            matmul_precision=mp,
+            frontend_precision=fp,
+            encoder_precision=ep,
+            encoder_dtype=edt,
+            attention_impl=attn,
+        )
+        model = NomadModel(cfg, emb_dim=256)
+
+        fn = jax.jit(lambda p, w, l: model.apply(p, w, lengths=l))
+        t0 = time.time()
+        embs = []
+        for b in range(n_batches):
+            embs.append(
+                np.asarray(
+                    fn(
+                        params,
+                        waves_dev[b * BATCH : (b + 1) * BATCH],
+                        lengths_dev[b * BATCH : (b + 1) * BATCH],
+                    )
+                )
+            )
+        compile_s = time.time() - t0
+        emb = np.concatenate(embs)
+
+        # steady-state compute-only timing (data already on device)
+        reps = 3
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.time()
+            for b in range(n_batches):
+                r = fn(
+                    params,
+                    waves_dev[b * BATCH : (b + 1) * BATCH],
+                    lengths_dev[b * BATCH : (b + 1) * BATCH],
+                )
+            np.asarray(r)
+            best = min(best, time.time() - t0)
+        wss = waves.shape[0] * SECONDS / best
+
+        if ref_emb is None:
+            ref_emb = emb
+            emb_err = 0.0
+            score_err = 0.0
+        else:
+            emb_err = float(np.max(np.abs(emb - ref_emb)))
+            dm = cdist(emb[:N_DEG], emb[N_DEG:])
+            dm_ref = cdist(ref_emb[:N_DEG], ref_emb[N_DEG:])
+            score = np.mean(np.asarray(dm), axis=1)
+            score_ref = np.mean(np.asarray(dm_ref), axis=1)
+            score_err = float(np.max(np.abs(score - score_ref)))
+
+        row = {
+            "recipe": name,
+            "wav_sec_per_sec": round(wss, 1),
+            "emb_maxdiff": emb_err,
+            "score_maxdiff": score_err,
+            "compile_s": round(compile_s, 1),
+            "steady_s": round(best, 3),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        with open(out_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    print("\n| recipe | wav-s/s | emb err | score err | compile s |")
+    print("|---|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['recipe']} | {r['wav_sec_per_sec']} | {r['emb_maxdiff']:.2e} "
+            f"| {r['score_maxdiff']:.2e} | {r['compile_s']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,8 +34,11 @@ def test_resolve_params_no_checkpoints(tmp_path):
             emb_dim=16,
             weights_dir=str(tmp_path / "nope"),
         )
+        # construction must NOT resolve weights (lazy: argument errors in
+        # predict() have to surface before any checkpoint load/init)
+        assert not any("no checkpoints found" in str(x.message) for x in w)
+        assert n.params is not None  # first access resolves...
         assert any("no checkpoints found" in str(x.message) for x in w)
-    assert n.params is not None
 
 
 def test_resolve_params_npz_cache(tmp_path):

@@ -45,20 +45,85 @@ def test_nonaligned_seq_len(rng):
     assert np.max(np.abs(np.asarray(ref) - np.asarray(out))) < 1e-5
 
 
-def test_grad_falls_back_to_xla(qkv):
+def _row_mask(q, lengths):
+    return (
+        jnp.arange(q.shape[1])[None, :] < jnp.asarray(lengths)[:, None]
+    ).astype(q.dtype)[:, :, None, None]
+
+
+def test_flash_backward_matches_xla(qkv):
+    """The Pallas flash backward (dQ + dK/dV kernels, P recomputed from the
+    saved LSE) must match XLA attention grads. Cotangents on padded query
+    rows are zeroed — both impls leave those outputs unspecified."""
     q, k, v = qkv
-    mask = jnp.arange(q.shape[1])[None, :] < jnp.array([180, 120])[:, None]
+    lengths = [180, 120]
+    mask = jnp.arange(q.shape[1])[None, :] < jnp.array(lengths)[:, None]
+    rm = _row_mask(q, lengths)
 
-    def loss_p(q):
-        return jnp.sum(mha_pallas(q, k, v, mask, interpret=True) ** 2)
+    def loss_p(q, k, v):
+        return jnp.sum((mha_pallas(q, k, v, mask, interpret=True) * rm) ** 2)
 
-    def loss_x(q):
-        return jnp.sum(mha_xla(q, k, v, mask) ** 2)
+    def loss_x(q, k, v):
+        return jnp.sum((mha_xla(q, k, v, mask) * rm) ** 2)
 
-    gp = jax.grad(loss_p)(q)
-    gx = jax.grad(loss_x)(q)
-    assert bool(jnp.all(jnp.isfinite(gp)))
-    assert np.max(np.abs(np.asarray(gp) - np.asarray(gx))) < 1e-3
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, "qkv"):
+        assert bool(jnp.all(jnp.isfinite(a))), name
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 2e-4, name
+
+
+def test_flash_backward_multiblock(rng):
+    """Small blocks force the online-softmax forward AND the blocked
+    backward loops (num_kb > 1, num_qb > 1)."""
+    B, T, H, D = 2, 512, 2, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, D)).astype(np.float32) * 0.5)
+        for _ in range(3)
+    )
+    lengths = [512, 300]
+    mask = jnp.arange(T)[None, :] < jnp.array(lengths)[:, None]
+    rm = _row_mask(q, lengths)
+
+    def loss_p(q, k, v):
+        out = mha_pallas(q, k, v, mask, block_q=128, block_k=128,
+                         interpret=True)
+        return jnp.sum((out * rm) ** 2)
+
+    def loss_x(q, k, v):
+        return jnp.sum((mha_xla(q, k, v, mask) * rm) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gx, "qkv"):
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 2e-4, name
+    # padded keys must receive exactly zero grad
+    assert np.all(np.asarray(gp[1])[1, 300:] == 0)
+    assert np.all(np.asarray(gp[2])[1, 300:] == 0)
+
+
+def test_model_grad_with_pallas_attention(rng):
+    """End-to-end: jax.grad through the backbone with the flash kernel
+    matches the xla build (training path)."""
+    from nomad_tpu.models import NomadModel, Wav2Vec2Config
+
+    wav = jnp.asarray(0.2 * rng.standard_normal((2, 2000)).astype(np.float32))
+    lengths = jnp.array([1500, 2000])
+    params = NomadModel(Wav2Vec2Config.tiny(), emb_dim=16).init(
+        jax.random.key(0), wav, method=NomadModel.init_all
+    )
+
+    def loss(p, impl):
+        model = NomadModel(Wav2Vec2Config.tiny(attention_impl=impl), emb_dim=16)
+        e = model.apply(p, wav, lengths=lengths)
+        return jnp.sum(e * e)
+
+    gx = jax.grad(lambda p: loss(p, "xla"))(params)
+    gp = jax.grad(lambda p: loss(p, "pallas"))(params)
+    flat_x = jax.tree_util.tree_leaves(gx)
+    flat_p = jax.tree_util.tree_leaves(gp)
+    for a, b in zip(flat_x, flat_p):
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 2e-4
 
 
 def test_model_with_pallas_attention(rng):

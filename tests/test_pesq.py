@@ -1,0 +1,102 @@
+"""Native PESQ-WB (utils/pesq.py) property tests.
+
+Bit-exactness against the ITU C code is unverifiable offline (no pesq
+wheel, no network — documented divergence), so these tests pin the
+properties that make the metric usable for the SE demo: perfect score on
+identity, the P.862.2 score range, monotonicity in SNR, level/delay
+invariance (the model's explicit alignment steps), sensitivity to real
+distortions, and batch API compatibility with pip-pesq."""
+
+import numpy as np
+import pytest
+
+from nomad_tpu.utils.pesq import pesq_batch, pesq_wb
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def speech():
+    """Speech-like test signal: pitch-modulated harmonics in syllable
+    bursts + a touch of noise."""
+    rng = np.random.default_rng(0)
+    t = np.arange(SR * 6) / SR
+    f0 = 120 * (1 + 0.1 * np.sin(2 * np.pi * 3.1 * t))
+    phase = np.cumsum(2 * np.pi * f0 / SR)
+    x = sum(np.sin(k * phase) / k for k in range(1, 6))
+    env = np.clip(np.sin(2 * np.pi * 0.7 * t), 0, 1)
+    return (x * env * 0.25 + 0.001 * rng.standard_normal(t.shape)).astype(
+        np.float64
+    )
+
+
+def _add_noise(x, snr_db, seed=1):
+    rng = np.random.default_rng(seed)
+    n = rng.standard_normal(x.shape)
+    n *= np.sqrt(np.mean(x**2) / np.mean(n**2)) / 10 ** (snr_db / 20)
+    return x + n
+
+
+def test_identity_is_max_score(speech):
+    s = pesq_wb(speech, speech)
+    assert abs(s - 4.644) < 0.01  # P.862.2 map of raw 4.5
+
+
+def test_score_range(speech):
+    for deg in (speech, _add_noise(speech, 0), np.zeros_like(speech)):
+        s = pesq_wb(speech, deg)
+        assert 1.0 <= s <= 4.65
+
+
+def test_monotone_in_snr(speech):
+    scores = [pesq_wb(speech, _add_noise(speech, snr)) for snr in (30, 20, 10, 0)]
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 4.0  # barely audible noise
+    assert scores[-1] < 1.8  # heavy noise
+
+
+def test_gain_invariance(speech):
+    # level alignment must make a clean gain change nearly free
+    assert pesq_wb(speech, speech * 0.316) > 4.5
+    assert pesq_wb(speech, speech * 2.0) > 4.5
+
+
+def test_delay_invariance(speech):
+    # time alignment must absorb constant delay
+    assert pesq_wb(speech, np.roll(speech, 80)) > 4.5  # 5 ms
+    assert pesq_wb(speech, np.roll(speech, 1600)) > 4.5  # 100 ms
+
+
+def test_clipping_hurts(speech):
+    hard = pesq_wb(speech, np.clip(speech, -0.05, 0.05))
+    soft = pesq_wb(speech, np.clip(speech, -0.15, 0.15))
+    assert hard < soft < 4.3
+
+
+def test_additive_noise_worse_than_mild_filter(speech):
+    from scipy.signal import butter, sosfilt
+
+    sos = butter(6, 5000 / (SR / 2), output="sos")
+    filtered = pesq_wb(speech, sosfilt(sos, speech))
+    noisy = pesq_wb(speech, _add_noise(speech, 10))
+    assert noisy < filtered
+
+
+def test_batch_api(speech):
+    degs = np.stack([speech, _add_noise(speech, 15)])
+    scores = pesq_batch(SR, speech, degs, mode="wb")
+    assert len(scores) == 2
+    assert scores[0] > scores[1]
+    with pytest.raises(ValueError):
+        pesq_batch(SR, speech, degs, mode="nb")
+
+
+def test_se_metric_uses_native_pesq(speech):
+    # the SE demo's metric hook must resolve to the native implementation
+    # when the pip extension is absent
+    from nomad_tpu.training.se import _try_pesq_batch
+
+    ref = np.stack([speech[: SR * 2]])
+    deg = np.stack([_add_noise(speech[: SR * 2], 20)])
+    val = _try_pesq_batch(SR, ref, deg)
+    assert val is not None and 1.0 <= val <= 4.65
