@@ -336,6 +336,57 @@ int nomad_load_batch(const char** paths, int64_t n, float* batch,
   return failures.load();
 }
 
+// Batched loader, int16 output: same pipeline as nomad_load_batch but the
+// padded batch is quantized to the PCM16 grid (round-half-away, clamped).
+// Halves the host->device bytes for resampled/converted files at the cost
+// of re-quantization noise (max 1/65536 per sample — the sources were
+// 16-bit PCM to begin with). The caller opts in (engine quantize_transfer).
+int nomad_load_batch_q16(const char** paths, int64_t n, int16_t* batch,
+                         int64_t pad_len, int64_t* lengths,
+                         int32_t* err_flags, int target_sr, int trim_sec,
+                         const float* kernels, int klen, int width,
+                         int orig_sr_g, int new_sr_g, int expect_sr,
+                         int num_threads) {
+  std::atomic<int64_t> next(0);
+  std::atomic<int> failures(0);
+  int nt = std::max(1, std::min<int>(num_threads, (int)n));
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    pool.emplace_back([&]() {
+      for (;;) {
+        int64_t i = next.fetch_add(1);
+        if (i >= n) return;
+        LoadResult r = load_one(paths[i], target_sr, trim_sec, kernels, klen,
+                                width, orig_sr_g, new_sr_g, expect_sr);
+        int16_t* row = batch + i * pad_len;
+        if (r.err != 0) {
+          memset(row, 0, (size_t)pad_len * sizeof(int16_t));
+          lengths[i] = 0;
+          err_flags[i] = r.err;
+          failures.fetch_add(1);
+          continue;
+        }
+        int64_t ncopy = std::min<int64_t>(r.length, pad_len);
+        for (int64_t j = 0; j < ncopy; ++j) {
+          float v = r.samples[(size_t)j] * 32768.0f;
+          v = std::nearbyintf(v);
+          if (v > 32767.0f) v = 32767.0f;
+          if (v < -32768.0f) v = -32768.0f;
+          row[j] = (int16_t)v;
+        }
+        if (ncopy < pad_len)
+          memset(row + ncopy, 0,
+                 (size_t)(pad_len - ncopy) * sizeof(int16_t));
+        lengths[i] = ncopy;
+        err_flags[i] = 0;
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
 // Probe with format detail (bits/format/flac) so the caller can route
 // mono-PCM16@target files to the int16 fast path.
 int nomad_probe(const char* path, int32_t* sr, int64_t* frames,

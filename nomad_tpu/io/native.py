@@ -50,8 +50,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.isfile(_LIB_PATH) and not _try_build():
-            return None
+        stale = False
+        if os.path.isfile(_LIB_PATH):
+            so_mtime = os.path.getmtime(_LIB_PATH)
+            for src in os.listdir(_NATIVE_DIR):
+                if src.endswith(".cpp") or src.endswith(".h"):
+                    p = os.path.join(_NATIVE_DIR, src)
+                    if os.path.getmtime(p) > so_mtime:
+                        stale = True
+                        break
+        if (not os.path.isfile(_LIB_PATH) or stale) and not _try_build():
+            if not os.path.isfile(_LIB_PATH):
+                return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
@@ -59,6 +69,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.nomad_native_abi_version.restype = ctypes.c_int
         if lib.nomad_native_abi_version() != 1:
             return None
+        if not hasattr(lib, "nomad_load_batch_q16"):
+            return None  # stale .so that a failed rebuild left behind
         lib.nomad_decode_wav.restype = ctypes.c_int
         lib.nomad_decode_wav.argtypes = [
             ctypes.c_char_p,
@@ -114,6 +126,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.nomad_load_batch_q16.restype = ctypes.c_int
+        lib.nomad_load_batch_q16.argtypes = (
+            lib.nomad_load_batch.argtypes[:2]
+            + [ctypes.POINTER(ctypes.c_int16)]
+            + lib.nomad_load_batch.argtypes[3:]
+        )
         _lib = lib
     return _lib
 
@@ -221,16 +239,22 @@ def native_load_batch(
     trim_sec: int = 0,
     expect_sr: int = 0,
     num_threads: int = 0,
+    quantize_i16: bool = False,
 ):
     """Threaded decode+fold+resample+pad of a file list into one
-    [n, pad_len] float32 batch. Returns (batch, lengths, err_flags) or None
-    when the native library is unavailable. Files at rates other than
-    target_sr/expect_sr get err_flags != 0 for Python-side retry."""
+    [n, pad_len] batch. Returns (batch, lengths, err_flags) or None when
+    the native library is unavailable. Files at rates other than
+    target_sr/expect_sr get err_flags != 0 for Python-side retry.
+
+    quantize_i16=True emits an int16 batch quantized to the PCM16 grid in
+    C++ (half the host->device bytes for resampled/converted sources;
+    max re-quantization error 1/65536 per sample)."""
     lib = get_lib()
     if lib is None:
         return None
     n = len(paths)
-    batch = np.empty((n, pad_len), np.float32)
+    dtype = np.int16 if quantize_i16 else np.float32
+    batch = np.empty((n, pad_len), dtype)
     lengths = np.empty((n,), np.int64)
     errs = np.empty((n,), np.int32)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
@@ -247,10 +271,12 @@ def native_load_batch(
 
     if num_threads <= 0:
         num_threads = min(16, os.cpu_count() or 4)
-    lib.nomad_load_batch(
+    fn = lib.nomad_load_batch_q16 if quantize_i16 else lib.nomad_load_batch
+    ptr_t = ctypes.c_int16 if quantize_i16 else ctypes.c_float
+    fn(
         c_paths,
         n,
-        batch.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        batch.ctypes.data_as(ctypes.POINTER(ptr_t)),
         pad_len,
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         errs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -84,6 +84,10 @@ class Wav2Vec2Config:
     frontend_precision: Any = None
     encoder_precision: Any = None
     encoder_dtype: Any = None
+    # finer encoder islands (None -> encoder_precision): attention
+    # (q/k/v/out projections + score/AV matmuls) vs feed-forward (fc1/fc2)
+    attn_precision: Any = None
+    ffn_precision: Any = None
     layernorm_impl: str = "xla"     # 'xla' | 'pallas' (fused kernel)
 
     @property
@@ -97,6 +101,14 @@ class Wav2Vec2Config:
     @property
     def block_dtype(self):
         return self.encoder_dtype if self.encoder_dtype is not None else self.dtype
+
+    @property
+    def attn_prec(self):
+        return self.attn_precision or self.encoder_prec
+
+    @property
+    def ffn_prec(self):
+        return self.ffn_precision or self.encoder_prec
 
     @classmethod
     def fast(cls, **kw) -> "Wav2Vec2Config":
@@ -309,31 +321,39 @@ class EncoderLayer(nn.Module):
         )
 
         residual = x
-        q = dense(d, name="q_proj")(x).reshape(x.shape[0], x.shape[1], h, head_dim)
-        k = dense(d, name="k_proj")(x).reshape(x.shape[0], x.shape[1], h, head_dim)
-        v = dense(d, name="v_proj")(x).reshape(x.shape[0], x.shape[1], h, head_dim)
-        if not deterministic and cfg.attention_dropout > 0.0:
-            # dropout on attention weights needs the einsum path
-            attn = mha_xla_dropout(
-                q,
-                k,
-                v,
-                key_mask,
-                rate=cfg.attention_dropout,
-                rng=self.make_rng("dropout"),
+        with jax.default_matmul_precision(cfg.attn_prec):
+            q = dense(d, name="q_proj")(x).reshape(
+                x.shape[0], x.shape[1], h, head_dim
             )
-        else:
-            attn = mha(q, k, v, key_mask=key_mask, impl=cfg.attention_impl)
-        attn = attn.reshape(x.shape[0], x.shape[1], d)
-        attn = dense(d, name="out_proj")(attn)
+            k = dense(d, name="k_proj")(x).reshape(
+                x.shape[0], x.shape[1], h, head_dim
+            )
+            v = dense(d, name="v_proj")(x).reshape(
+                x.shape[0], x.shape[1], h, head_dim
+            )
+            if not deterministic and cfg.attention_dropout > 0.0:
+                # dropout on attention weights needs the einsum path
+                attn = mha_xla_dropout(
+                    q,
+                    k,
+                    v,
+                    key_mask,
+                    rate=cfg.attention_dropout,
+                    rng=self.make_rng("dropout"),
+                )
+            else:
+                attn = mha(q, k, v, key_mask=key_mask, impl=cfg.attention_impl)
+            attn = attn.reshape(x.shape[0], x.shape[1], d)
+            attn = dense(d, name="out_proj")(attn)
         attn = nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
         x = ln(name="self_attn_layer_norm")(residual + attn)
 
         residual = x
-        y = dense(cfg.ffn_dim, name="fc1")(x)
-        y = jax.nn.gelu(y, approximate=False)
-        y = nn.Dropout(cfg.activation_dropout)(y, deterministic=deterministic)
-        y = dense(d, name="fc2")(y)
+        with jax.default_matmul_precision(cfg.ffn_prec):
+            y = dense(cfg.ffn_dim, name="fc1")(x)
+            y = jax.nn.gelu(y, approximate=False)
+            y = nn.Dropout(cfg.activation_dropout)(y, deterministic=deterministic)
+            y = dense(d, name="fc2")(y)
         y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
         x = ln(name="final_layer_norm")(residual + y)
         if key_mask is not None:

@@ -40,7 +40,9 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
 
     len_ref: [BH] int32 in SMEM (scalar-prefetched valid key counts)
     q_ref/o_ref: [1, block_q, D] VMEM; k_ref/v_ref: [1, T_kv, D] VMEM;
-    lse_ref: [1, block_q] VMEM (log-sum-exp saved for the backward).
+    lse_ref: [1, 1, block_q] VMEM (log-sum-exp saved for the backward; the
+    extra unit axis keeps the block shape inside Mosaic's (8, 128) tiling
+    rule — a [BH, T] layout would need an illegal (1, block_q) block).
     """
     g = pl.program_id(0)
     kv_len = len_ref[g]
@@ -72,7 +74,7 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(p, v_blk, (((1,), (0,)), ((), ())), **dot_kw)
         o_ref[0] = (o / l).astype(o_ref.dtype)
-        lse_ref[0] = (m + jnp.log(l))[:, 0]
+        lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
         return
 
     def body(i, carry):
@@ -97,7 +99,7 @@ def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    lse_ref[0, 0] = (m + jnp.log(l))[:, 0]
 
 
 @functools.partial(
@@ -122,12 +124,12 @@ def _flash_folded(q, k, v, lengths, block_q: int, block_k: int, interpret: bool,
             ],
             out_specs=[
                 pl.BlockSpec((1, block_q, d), lambda g, i, lens: (g, i, 0)),
-                pl.BlockSpec((1, block_q), lambda g, i, lens: (g, i)),
+                pl.BlockSpec((1, 1, block_q), lambda g, i, lens: (g, 0, i)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((bh, t, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, t), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, t), jnp.float32),
         ],
         # 'arbitrary' on the q-block axis keeps the revisited K/V blocks
         # resident in VMEM across q iterations
@@ -186,8 +188,8 @@ def _flash_bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     kv_len = len_ref[g]
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    di = di_ref[0][:, None]
+    lse = lse_ref[0, 0][:, None]
+    di = di_ref[0, 0][:, None]
     d = q.shape[-1]
     block_q = q.shape[0]
     scale = 1.0 / (d**0.5)
@@ -242,8 +244,8 @@ def _flash_bwd_dkv_kernel(len_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
         dk_acc, dv_acc = carry
         q_blk = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         do_blk = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse_blk = lse_ref[0, pl.ds(i * block_q, block_q)][None, :]
-        di_blk = di_ref[0, pl.ds(i * block_q, block_q)][None, :]
+        lse_blk = lse_ref[0, 0, pl.ds(i * block_q, block_q)][None, :]
+        di_blk = di_ref[0, 0, pl.ds(i * block_q, block_q)][None, :]
         # s^T: [bk, bq]
         st = scale * jax.lax.dot_general(
             k, q_blk, (((1,), (1,)), ((), ())), **dot_kw
@@ -271,7 +273,7 @@ def _flash_bwd_dkv_kernel(len_ref, k_ref, v_ref, q_ref, do_ref, lse_ref,
 )
 def _flash_bwd_folded(q, k, v, do, lse, di, lengths, block_q: int,
                       block_k: int, interpret: bool, precision=None):
-    """Folded backward: q/k/v/do [B*H, T, D]; lse/di [B*H, T] f32."""
+    """Folded backward: q/k/v/do [B*H, T, D]; lse/di [B*H, 1, T] f32."""
     bh, t, d = q.shape
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=block_k, t_kv=t,
@@ -284,8 +286,8 @@ def _flash_bwd_folded(q, k, v, do, lse, di, lengths, block_q: int,
                 pl.BlockSpec((1, t, d), lambda g, i, lens: (g, 0, 0)),
                 pl.BlockSpec((1, t, d), lambda g, i, lens: (g, 0, 0)),
                 pl.BlockSpec((1, block_q, d), lambda g, i, lens: (g, i, 0)),
-                pl.BlockSpec((1, block_q), lambda g, i, lens: (g, i)),
-                pl.BlockSpec((1, block_q), lambda g, i, lens: (g, i)),
+                pl.BlockSpec((1, 1, block_q), lambda g, i, lens: (g, 0, i)),
+                pl.BlockSpec((1, 1, block_q), lambda g, i, lens: (g, 0, i)),
             ],
             out_specs=pl.BlockSpec((1, block_q, d), lambda g, i, lens: (g, i, 0)),
         ),
@@ -307,8 +309,8 @@ def _flash_bwd_folded(q, k, v, do, lse, di, lengths, block_q: int,
                 pl.BlockSpec((1, block_k, d), lambda g, j, lens: (g, j, 0)),
                 pl.BlockSpec((1, t, d), lambda g, j, lens: (g, 0, 0)),
                 pl.BlockSpec((1, t, d), lambda g, j, lens: (g, 0, 0)),
-                pl.BlockSpec((1, t), lambda g, j, lens: (g, 0)),
-                pl.BlockSpec((1, t), lambda g, j, lens: (g, 0)),
+                pl.BlockSpec((1, 1, t), lambda g, j, lens: (g, 0, 0)),
+                pl.BlockSpec((1, 1, t), lambda g, j, lens: (g, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, block_k, d), lambda g, j, lens: (g, j, 0)),
@@ -342,18 +344,28 @@ def _mha_pallas_fwd(q, k, v, key_mask, block_q, block_k, interpret, precision):
 def _mha_pallas_bwd(block_q, block_k, interpret, precision, res, g):
     """Flash backward: recomputes P blockwise from the saved LSE — no
     [B, H, T, T] materialization (the round-1 fallback re-ran full XLA
-    einsum attention here, negating the kernel's memory win for training)."""
+    einsum attention here, negating the kernel's memory win for training).
+
+    Blocks are capped at 512: the dK/dV kernel holds four [bk, bq] f32
+    temporaries plus the resident Q/dO rows, and the forward's wide
+    single-pass blocks (up to 2048) would push past the ~16 MB VMEM
+    budget at long T."""
     q, k, v, key_mask, out, lse = res
     b, t, h, d = q.shape
-    prep, lens, t_pad = _fold_args(q, k, v, key_mask, block_q, block_k)
+    bq = min(block_q, 512)
+    bk = min(block_k, 512)
+    prep, lens, t_pad = _fold_args(q, k, v, key_mask, bq, bk)
+    # the forward may have padded further (its blocks are wider); its lse
+    # covers a prefix that includes every real row
+    lse = lse[:, :, :t_pad]
     # d_i = rowsum(dO * O) per query row (cheap XLA elementwise+reduce)
     di = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    di = jnp.swapaxes(di, 1, 2).reshape(b * h, t)  # [BH, T]
+    di = jnp.swapaxes(di, 1, 2).reshape(b * h, 1, t)  # [BH, 1, T]
     if t_pad != t:
-        di = jnp.pad(di, ((0, 0), (0, t_pad - t)))
+        di = jnp.pad(di, ((0, 0), (0, 0), (0, t_pad - t)))
     dq, dk, dv = _flash_bwd_folded(
         prep(q), prep(k), prep(v), prep(g), lse, di, lens,
-        block_q, block_k, interpret, precision,
+        bq, bk, interpret, precision,
     )
     return (
         _unfold(dq, b, h, t, d).astype(q.dtype),

@@ -37,10 +37,32 @@ class NomadServer:
             nomad = Nomad(config=cfg, emb_dim=emb_dim)
         self.nomad = nomad
 
+    def warmup(self, seconds=(10.0,)) -> dict:
+        """Pre-compile (or cache-load) the standard bucket shapes so the
+        first real request doesn't pay compile + param-transfer latency.
+        With the persistent compilation cache this is seconds, not minutes."""
+        import time
+
+        import numpy as np
+
+        timings = {}
+        for sec in seconds:
+            n = int(sec * 16000)
+            wave = np.zeros(n, np.int16)
+            t0 = time.time()
+            self.nomad.engine.embed_waves([wave])
+            timings[str(sec)] = round(time.time() - t0, 2)
+        return timings
+
     def handle(self, req: dict) -> dict:
         op = req.get("op")
         if op == "ping":
             return {"ok": True, "op": "ping"}
+        if op == "warm":
+            return {
+                "ok": True,
+                "warmed_s": self.warmup(tuple(req.get("seconds", (10.0,)))),
+            }
         if op == "stats":
             from .utils.profiling import GLOBAL
 
@@ -94,8 +116,22 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="base", choices=["base", "tiny"])
+    ap.add_argument(
+        "--warm",
+        type=float,
+        nargs="*",
+        default=None,
+        metavar="SECONDS",
+        help="pre-compile bucket shapes for these file durations at "
+        "startup (e.g. --warm 10 30)",
+    )
     args = ap.parse_args(argv)
-    NomadServer(model=args.model).run()
+    server = NomadServer(model=args.model)
+    if args.warm is not None:
+        durations = tuple(args.warm) or (10.0,)
+        print(json.dumps({"warmed_s": server.warmup(durations)}),
+              file=sys.stderr)
+    server.run()
 
 
 if __name__ == "__main__":

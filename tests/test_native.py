@@ -81,6 +81,60 @@ def test_native_resample_close_to_python(tmp_path, rng):
     np.testing.assert_allclose(batch[0, : len(ref)], ref, atol=1e-6)
 
 
+def test_q16_batch_is_quantized_f32_batch(tmp_path, rng):
+    """int16 loader output == PCM16-quantized f32 loader output, same
+    lengths/errors — including the resample path."""
+    paths = []
+    for i, (n, sr) in enumerate([(48000, 48000), (20000, 48000)]):
+        w = np.clip(0.2 * rng.standard_normal(n), -0.99, 0.99).astype(np.float32)
+        p = str(tmp_path / f"q{i}.wav")
+        write_wav(p, w[None], sr, bits=16)
+        paths.append(p)
+    f32, lens_f, errs_f = native.native_load_batch(
+        paths, pad_len=20000, expect_sr=48000
+    )
+    q16, lens_q, errs_q = native.native_load_batch(
+        paths, pad_len=20000, expect_sr=48000, quantize_i16=True
+    )
+    assert q16.dtype == np.int16
+    np.testing.assert_array_equal(lens_f, lens_q)
+    np.testing.assert_array_equal(errs_f, errs_q)
+    want = np.clip(np.round(f32 * 32768.0), -32768, 32767).astype(np.int16)
+    # C++ uses nearbyint (banker's at .5 ties) vs numpy round-half-even —
+    # identical; allow 0 tolerance
+    np.testing.assert_array_equal(q16, want)
+
+
+def test_engine_quantized_resample_group(tmp_path, rng):
+    """Engine with quantize_transfer ships resampled files as int16; the
+    embeddings match the f32 path to quantization noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from nomad_tpu.models import NomadModel, Wav2Vec2Config
+    from nomad_tpu.scoring import EmbeddingEngine
+
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    paths = []
+    for i in range(3):
+        w = np.clip(0.2 * rng.standard_normal(24000), -0.99, 0.99).astype(
+            np.float32
+        )
+        p = str(tmp_path / f"r{i}.wav")
+        write_wav(p, w[None], 48000, bits=16)
+        paths.append(p)
+    eng_q = EmbeddingEngine(model, params, quantize_transfer=True)
+    eng_f = EmbeddingEngine(model, params, quantize_transfer=False)
+    emb_q = eng_q._embed_files_native(paths, trim=False, progress=False)
+    emb_f = eng_f._embed_files_native(paths, trim=False, progress=False)
+    assert emb_q is not None and emb_f is not None
+    np.testing.assert_allclose(emb_q, emb_f, atol=5e-4)
+
+
 def test_unexpected_rate_flags_error(tmp_path, rng):
     w = np.clip(0.2 * rng.standard_normal(8000), -0.99, 0.99).astype(np.float32)
     p = str(tmp_path / "odd.wav")
