@@ -111,10 +111,11 @@ def test_w2v_only_checkpoint_warns_and_loads_backbone(oracle, tmp_path):
     wdir.mkdir()
     write_fairseq_checkpoint(oracle, str(wdir / "wav2vec_small.pt"))
 
+    # params resolve lazily (construction is cheap by design); the warning
+    # fires on first access, when the checkpoint is actually converted
+    nomad = Nomad(config=Wav2Vec2Config.tiny(), emb_dim=EMB, weights_dir=str(wdir))
     with pytest.warns(UserWarning, match="scoring head"):
-        nomad = Nomad(
-            config=Wav2Vec2Config.tiny(), emb_dim=EMB, weights_dir=str(wdir)
-        )
+        nomad.params
 
     # the backbone weights must still be the fairseq ones: raw mean-pooled
     # features (Origw2v path, no head involved) match the oracle backbone
