@@ -71,6 +71,20 @@ class Wav2Vec2Config:
     # default here), 'highest' (fp32). Measured in the round-1 precision
     # study; see tests/test_oracle_parity.py for the CPU-side guarantee.
     matmul_precision: str = "high"
+    # remat policy when remat=True: 'full' recomputes the whole block in the
+    # backward (min memory); 'dots' saves every matmul output and recomputes
+    # only the elementwise ops (LN/gelu/softmax) — ~5.4 GB of saved
+    # activations at the reference recipe (bs8 x 10 s), trading HBM for the
+    # recompute FLOPs (measured in scripts/benchmark_training.py)
+    remat_policy: str = "full"
+    # Freeze-aware backward pruning: when the conv frontend is frozen
+    # (reference recipe `train_triplet.py:73-80` freezes feature_extractor),
+    # its parameter grads are computed and then zeroed by the optimizer.
+    # Setting this stops gradients at the conv-encoder output, removing the
+    # whole conv backward (the [B, 160k, 512]-scale intermediates) from the
+    # graph. Grads of every non-frozen param are mathematically unchanged
+    # (the conv input is the waveform; nothing upstream needs its grad).
+    frontend_stop_gradient: bool = False
     # Mixed-precision islands (round-2 study, NOTES_ROUND2.md): override the
     # global matmul_precision per region. None = inherit matmul_precision.
     #   frontend_precision — conv feature encoder, feature projection and
@@ -370,7 +384,15 @@ class _ScannedLayer(nn.Module):
     def __call__(self, x, key_mask, deterministic):
         layer = EncoderLayer
         if self.config.remat:
-            layer = nn.remat(EncoderLayer, static_argnums=(3,))
+            policy = None
+            if self.config.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_saveable
+            elif self.config.remat_policy != "full":
+                raise ValueError(
+                    f"unknown remat_policy {self.config.remat_policy!r}: "
+                    "expected 'full' or 'dots'"
+                )
+            layer = nn.remat(EncoderLayer, static_argnums=(3,), policy=policy)
             out = layer(self.config, name="layer")(x, key_mask, deterministic)
         else:
             out = layer(self.config, name="layer")(
@@ -443,6 +465,8 @@ class Wav2Vec2Model(nn.Module):
             feats, frame_lengths = ConvFeatureEncoder(cfg, name="feature_encoder")(
                 wav, lengths
             )
+            if cfg.frontend_stop_gradient:
+                feats = jax.lax.stop_gradient(feats)
             x = LayerNormOp(
                 cfg.conv_dim[-1],
                 epsilon=cfg.layer_norm_eps,

@@ -113,14 +113,55 @@ class Training:
             model_config = (
                 Wav2Vec2Config.tiny() if size == "tiny" else Wav2Vec2Config.base()
             )
+            # Training precision (round-2 study, scripts/benchmark_training.py):
+            #   exact     — 'high' (bf16_3x) matmuls everywhere; numerics
+            #               match the torch f32 recipe to ~1e-5 (default)
+            #   fast      — single-pass bf16 transformer matmuls, f32
+            #               islands (frontend/norms/pool/head)
+            #   fast_bf16 — 'fast' + bf16 block activations: halves the
+            #               remat-recompute HBM traffic. Training-only
+            #               recipe — too lossy for the 1e-3 scoring budget,
+            #               fine for gradient descent (loss-trajectory test
+            #               in tests/test_training.py)
+            prec = cfg.get("precision", "exact")
+            if prec in ("fast", "fast_bf16"):
+                import dataclasses as _dc
+
+                model_config = _dc.replace(
+                    model_config,
+                    frontend_precision="high",
+                    encoder_precision="default",
+                    encoder_dtype=jnp.bfloat16 if prec == "fast_bf16" else None,
+                )
+            elif prec != "exact":
+                raise ValueError(
+                    f"unknown training precision {prec!r}: expected "
+                    "'exact', 'fast' or 'fast_bf16'"
+                )
+        if cfg.get("experiment_name") == "Training" and cfg.get(
+            "freeze_convnet", False
+        ):
+            # frozen conv frontend: prune its backward from the train step
+            # (param grads would be zeroed anyway; see Wav2Vec2Config)
+            import dataclasses as _dc
+
+            model_config = _dc.replace(model_config, frontend_stop_gradient=True)
         if cfg.get("experiment_name") == "Training" and cfg.get("remat", True):
             # rematerialize transformer blocks in the backward pass: without
             # it the scanned backward stores every layer's [B,H,T,T]
             # attention probs and the BASE bs-8 x 10 s step needs ~21 GB
             # (>16 GB v5e HBM). remat trades that for recompute.
+            # remat_policy 'dots' saves matmul outputs and recomputes only
+            # elementwise ops — measured ~10% faster at the reference
+            # bs8 x 10 s recipe but stores ~5 GB more; 'full' (default)
+            # leaves headroom for larger batches/longer files.
             import dataclasses as _dc
 
-            model_config = _dc.replace(model_config, remat=True)
+            model_config = _dc.replace(
+                model_config,
+                remat=True,
+                remat_policy=cfg.get("remat_policy", "full"),
+            )
         self.model_config = model_config
         self.emb_dim = int(cfg.get("emb_dim", 256))
         self.eval_w2v = bool(cfg.get("eval_w2v", False))

@@ -27,6 +27,20 @@ def main():
     ap.add_argument("--repeats", type=int, default=4)
     ap.add_argument("--attn", choices=("xla", "pallas"), default="xla")
     ap.add_argument("--remat", type=int, default=1)
+    ap.add_argument("--remat-policy", choices=("full", "dots"), default="full")
+    ap.add_argument(
+        "--stop-frontend-grad", type=int, default=1,
+        help="prune the frozen conv frontend's backward (freeze_convnet "
+        "recipe; grads of trainable params are unchanged)",
+    )
+    ap.add_argument(
+        "--precision", choices=("exact", "fast", "fast_bf16"), default="exact",
+        help="exact = 'high' matmuls everywhere (parity default); fast = "
+        "bf16 single-pass transformer matmuls with f32 islands; fast_bf16 "
+        "additionally keeps block activations in bf16 (halves the remat "
+        "recompute HBM traffic — training-only recipe, too lossy for "
+        "scoring parity)",
+    )
     args = ap.parse_args()
 
     from nomad_tpu.utils.cache import enable_compilation_cache
@@ -41,7 +55,16 @@ def main():
     from nomad_tpu.scoring.engine import bucket_length
     from nomad_tpu.training.triplet import Training
 
-    cfg = Wav2Vec2Config.base(attention_impl=args.attn)
+    if args.precision == "exact":
+        cfg = Wav2Vec2Config.base(attention_impl=args.attn)
+    elif args.precision == "fast":
+        cfg = Wav2Vec2Config.fast(attention_impl=args.attn)
+    else:  # fast_bf16
+        import jax.numpy as _jnp
+
+        cfg = Wav2Vec2Config.fast(
+            attention_impl=args.attn, encoder_dtype=_jnp.bfloat16
+        )
     model = NomadModel(cfg, emb_dim=256)
     with jax.default_device(jax.devices("cpu")[0]):
         params = model.init(
@@ -58,7 +81,10 @@ def main():
     )
     import dataclasses
 
-    tr.model_config = dataclasses.replace(cfg, remat=bool(args.remat))
+    tr.model_config = dataclasses.replace(
+        cfg, remat=bool(args.remat), remat_policy=args.remat_policy,
+        frontend_stop_gradient=bool(args.stop_frontend_grad),
+    )
     tr.model = NomadModel(tr.model_config, emb_dim=256)
     tr.margin = 0.2
     tr._build_optimizer()
@@ -66,21 +92,29 @@ def main():
     B = args.bs
     T = bucket_length(int(args.seconds * 16000))
     rng = np.random.default_rng(0)
-    mk = lambda: jax.device_put(
-        (0.05 * rng.standard_normal((B, T))).astype(np.float32)
-    )
+    # pre-stage all batches on device: the relay's h2d rate swings 8-65 MB/s
+    # minute-to-minute, and a device_put inside the timed loop would bury
+    # the compute number under transfer weather
+    batches = [
+        tuple(
+            jax.device_put((0.05 * rng.standard_normal((B, T))).astype(np.float32))
+            for _ in range(3)
+        )
+        for _ in range(min(args.repeats, 3) + 1)
+    ]
     lengths = jax.device_put(np.full((B,), int(args.seconds * 16000), np.int32))
     step = tr._get_step((B, T))
     p, o = tr.params, tr.opt_state
     t0 = time.time()
-    p, o, loss = step(p, o, mk(), mk(), mk(), lengths, lengths, lengths,
+    p, o, loss = step(p, o, *batches[0], lengths, lengths, lengths,
                       jnp.float32(1e-5), jnp.float32(1e-4), jax.random.key(0))
     float(loss)
     compile_s = time.time() - t0
     ts = []
     for i in range(args.repeats):
+        a_, p_, n_ = batches[1 + i % (len(batches) - 1)]
         t0 = time.time()
-        p, o, loss = step(p, o, mk(), mk(), mk(), lengths, lengths, lengths,
+        p, o, loss = step(p, o, a_, p_, n_, lengths, lengths, lengths,
                           jnp.float32(1e-5), jnp.float32(1e-4),
                           jax.random.key(i))
         float(loss)
@@ -115,6 +149,9 @@ def main():
         "se_loss_grad_ms": round(se_ms, 1),
         "detail": {"bs": B, "seconds": args.seconds, "se_bs": args.se_bs,
                    "attn": args.attn, "remat": bool(args.remat),
+                   "remat_policy": args.remat_policy,
+                   "stop_frontend_grad": bool(args.stop_frontend_grad),
+                   "precision": args.precision,
                    "compile_s": round(compile_s, 1),
                    "backend": jax.default_backend()},
     }))

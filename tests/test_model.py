@@ -137,6 +137,74 @@ def test_grad_through_loss(tiny):
     assert float(jnp.max(jnp.abs(g))) > 0.0
 
 
+@pytest.mark.parametrize("policy", ["full", "dots"])
+def test_remat_policies_match_no_remat_grads(tiny, policy):
+    """remat (both policies) is a pure memory/recompute trade: outputs and
+    gradients must match the no-remat graph to float noise."""
+    import dataclasses
+
+    cfg, _, params, wav = tiny
+    base = NomadModel(cfg, emb_dim=16)
+    rcfg = dataclasses.replace(cfg, remat=True, remat_policy=policy)
+    rmodel = NomadModel(rcfg, emb_dim=16)
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(jnp.square(m.apply(p, wav)))
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(base))(params)
+    l1, g1 = jax.value_and_grad(loss(rmodel))(params)
+    assert abs(float(l0) - float(l1)) < 1e-5
+    flat0 = jax.tree.leaves(g0)
+    flat1 = jax.tree.leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_frontend_stop_gradient_preserves_trainable_grads(tiny):
+    """frontend_stop_gradient must zero conv grads and leave every other
+    param grad unchanged (it only prunes a backward leg the freeze policy
+    discards anyway)."""
+    import dataclasses
+
+    cfg, _, params, wav = tiny
+    base = NomadModel(cfg, emb_dim=16)
+    pruned = NomadModel(
+        dataclasses.replace(cfg, frontend_stop_gradient=True), emb_dim=16
+    )
+
+    def loss(m):
+        return lambda p: jnp.sum(jnp.square(m.apply(p, wav)))
+
+    g0 = jax.grad(loss(base))(params)["params"]
+    g1 = jax.grad(loss(pruned))(params)["params"]
+    # conv grads pruned to exactly zero
+    for leaf in jax.tree.leaves(g1["backbone"]["feature_encoder"]):
+        assert float(jnp.max(jnp.abs(leaf))) == 0.0
+    # everything else identical
+    for key in ("embedding",):
+        for a, b in zip(jax.tree.leaves(g0[key]), jax.tree.leaves(g1[key])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for sub in ("encoder", "post_extract_proj", "feature_layer_norm"):
+        for a, b in zip(
+            jax.tree.leaves(g0["backbone"][sub]),
+            jax.tree.leaves(g1["backbone"][sub]),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_unknown_remat_policy_rejected(tiny):
+    import dataclasses
+
+    cfg, _, params, wav = tiny
+    bad = NomadModel(
+        dataclasses.replace(cfg, remat=True, remat_policy="half"), emb_dim=16
+    )
+    with pytest.raises(ValueError, match="remat_policy"):
+        bad.apply(params, wav)
+
+
 def test_dropout_training_mode(tiny):
     cfg, model, params, wav = tiny
     e1 = model.apply(

@@ -159,6 +159,34 @@ def test_training_epoch_updates_only_unfrozen(triplet_tree):
     assert np.isfinite(valid_loss)
 
 
+@pytest.mark.parametrize("prec", ["fast", "fast_bf16"])
+def test_training_mixed_precision_trajectory(triplet_tree, prec):
+    """precision='fast'/'fast_bf16' must train: loss finite and the epoch
+    trajectory close to the 'exact' recipe (loose tolerance — bf16 matmuls
+    and activations round, but gradient descent must land in the same
+    place on a tiny problem)."""
+    cfg = make_config(triplet_tree, model_size="tiny")
+    exact = Training(dict(cfg, precision="exact"))
+    mixed = Training(dict(cfg, precision=prec))
+    assert mixed.model_config.encoder_prec == "default"
+    if prec == "fast_bf16":
+        assert mixed.model_config.block_dtype == jnp.bfloat16
+
+    l_exact = exact.train(rng_seed=0)
+    l_mixed = mixed.train(rng_seed=0)
+    assert np.isfinite(l_mixed)
+    assert abs(l_mixed - l_exact) < 0.05  # same trajectory to bf16 noise
+
+    # eval path too
+    assert np.isfinite(mixed.eval())
+
+
+def test_training_unknown_precision_rejected(triplet_tree):
+    cfg = make_config(triplet_tree, model_size="tiny", precision="quantum")
+    with pytest.raises(ValueError, match="unknown training precision"):
+        Training(cfg)
+
+
 def test_training_loop_checkpoints_and_lr_decay(triplet_tree, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     cfg = make_config(triplet_tree, num_epochs=2, lr_decay_step=1)
