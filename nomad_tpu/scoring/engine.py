@@ -170,6 +170,49 @@ class EmbeddingEngine:
                 self._params_device = jax.tree_util.tree_unflatten(treedef, put)
         return self._params_device
 
+    def _prewarm_keys(self, keys, min_keys: int = 2) -> None:
+        """Compile several (batch, length, int16) shapes concurrently.
+
+        The remote compile service overlaps compiles almost perfectly
+        (measured: 3 fresh BASE shapes in 22.6 s vs 44.8 s for 2 run
+        sequentially), so warming k shapes costs ~the slowest one. Each
+        warm call executes the jitted fn once on device-resident zeros —
+        that both compiles it and primes jit's internal cache (a bare
+        .lower().compile() would only fill the persistent disk cache)."""
+        keys = [k for k in keys if k not in self._jitted]
+        if len(keys) < min_keys:
+            # a lone new shape compiles at first use anyway; warming it
+            # here would only add a zeros execution
+            return
+        params = self._device_params()
+
+        def warm(key):
+            bsz, blen, i16 = key
+            fn = self._get_fn(bsz, blen, i16)
+            w = jnp.zeros((bsz, blen), jnp.int16 if i16 else jnp.float32)
+            l = jnp.full((bsz,), blen, jnp.int32)
+            if self.mesh is not None:
+                sh = batch_sharding(self.mesh)
+                w, l = jax.device_put(w, sh), jax.device_put(l, sh)
+            np.asarray(jax.tree_util.tree_leaves(fn(params, w, l))[0][:1, :1])
+
+        with ThreadPoolExecutor(max_workers=min(4, len(keys))) as ex:
+            list(ex.map(warm, keys))
+
+    def prewarm(self, durations=(10.0,), int16: bool = True,
+                single: bool = True) -> None:
+        """Pre-compile the bucket shapes for the given file durations:
+        the full steady-state batch per bucket, plus (optionally) the
+        batch-1 shape single-file requests hit. All compiles run
+        concurrently (see _prewarm_keys)."""
+        keys = []
+        for sec in durations:
+            blen = bucket_length(int(sec * 16000))
+            keys.append((self.batch_size_for(blen), blen, int16))
+            if single:
+                keys.append((self.batch_size_for(blen, remaining=1), blen, int16))
+        self._prewarm_keys(dict.fromkeys(keys), min_keys=1)
+
     def batch_size_for(self, length: int, remaining: Optional[int] = None) -> int:
         b = max(1, self.batch_sample_budget // max(length, 1))
         b = min(b, MAX_BATCH)
@@ -232,6 +275,14 @@ class EmbeddingEngine:
                 bsz = min(bsz, full_bsz)
                 chunks.append((idxs[start : start + bsz], bsz, blen))
                 start += bsz
+
+        # compile every planned shape concurrently before the sequential
+        # submit loop (predicted int16-ness from dtypes; a misprediction
+        # just compiles on demand as before)
+        self._prewarm_keys(dict.fromkeys(
+            (bsz, blen, all(waves[i].dtype == np.int16 for i in chunk))
+            for chunk, bsz, blen in chunks
+        ))
 
         def assemble(job):
             chunk, bsz, blen = job
@@ -334,6 +385,23 @@ class EmbeddingEngine:
             groups.setdefault((blen, sr, i16), []).append(idx)
 
         params = self._device_params()
+
+        # parallel-compile all planned shapes first (predicted transfer
+        # dtype: raw-i16 loader, or the quantize-to-PCM16 path)
+        plan_keys = []
+        for (blen, sr, i16), idxs in sorted(groups.items()):
+            pred_i16 = i16 or self.quantize_transfer
+            full_bsz = self.batch_size_for(blen)
+            start = 0
+            while start < len(idxs):
+                bsz = min(
+                    self.batch_size_for(blen, remaining=len(idxs) - start),
+                    full_bsz,
+                )
+                plan_keys.append((bsz, blen, pred_i16))
+                start += bsz
+        self._prewarm_keys(dict.fromkeys(plan_keys))
+
         out: dict[int, np.ndarray] = {}
         pending = []
         for (blen, sr, i16), idxs in sorted(groups.items()):

@@ -40,19 +40,15 @@ class NomadServer:
     def warmup(self, seconds=(10.0,)) -> dict:
         """Pre-compile (or cache-load) the standard bucket shapes so the
         first real request doesn't pay compile + param-transfer latency.
-        With the persistent compilation cache this is seconds, not minutes."""
+        All durations' shapes (full batch + batch-1) compile CONCURRENTLY —
+        the remote compile service overlaps compiles, so k shapes cost
+        ~the slowest one; with the persistent cache it's seconds."""
         import time
 
-        import numpy as np
-
-        timings = {}
-        for sec in seconds:
-            n = int(sec * 16000)
-            wave = np.zeros(n, np.int16)
-            t0 = time.time()
-            self.nomad.engine.embed_waves([wave])
-            timings[str(sec)] = round(time.time() - t0, 2)
-        return timings
+        t0 = time.time()
+        self.nomad.engine.prewarm(tuple(seconds))
+        total = round(time.time() - t0, 2)
+        return {str(s): total for s in seconds} | {"total": total}
 
     def handle(self, req: dict) -> dict:
         op = req.get("op")

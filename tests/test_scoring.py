@@ -49,6 +49,31 @@ def test_bucket_length():
             assert (b - n) / n <= 0.34
 
 
+def test_prewarm_compiles_planned_shapes(tiny_setup):
+    """prewarm() fills the jit cache for the full-batch and batch-1 shapes
+    of each duration, and embed_waves on those durations adds no new
+    compiled entries (prediction matches the plan)."""
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(model, params)
+    engine.prewarm((0.25, 0.5), int16=False)
+    keys = set(engine._jitted)
+    assert len(keys) >= 2
+    for sec in (0.25, 0.5):
+        blen = bucket_length(int(sec * 16000))
+        assert (engine.batch_size_for(blen), blen, False) in keys
+
+    rng = np.random.default_rng(0)
+    waves = [
+        (0.1 * rng.standard_normal(int(s * 16000))).astype(np.float32)
+        for s in (0.25, 0.5, 0.25)
+    ]
+    emb = engine.embed_waves(waves)
+    assert emb.shape == (3, 16)
+    # warm shapes were reused where the plan matched (batch-1 and the
+    # 2-row tail compile is the only potentially new entry)
+    assert all(k in engine._jitted for k in keys)
+
+
 def test_engine_matches_direct_apply(tiny_setup):
     cfg, oracle, model, params = tiny_setup
     rng = np.random.default_rng(5)
