@@ -71,6 +71,14 @@ class EmbeddingEngine:
     # that was 16-bit PCM to begin with — orders of magnitude inside the
     # score budget. Set False for bit-exact f32 transfer.
     quantize_transfer: bool = True
+    # Optional file-embedding cache (set to {} to enable; None = off, the
+    # reference-faithful default — `nomad.py:102-105` recomputes the NMR
+    # pool every predict). Keyed by (abspath, trim, mtime_ns, size) so an
+    # edited file re-embeds; entries are ~1 KB (emb_dim floats). A serving
+    # process scoring many requests against a fixed NMR pool skips ~all of
+    # the pool's decode+embed work after the first request.
+    file_cache: Optional[dict] = None
+    cache_hits: int = field(default=0, repr=False)
     _jitted: dict = field(default_factory=dict, repr=False)
     _params_device: Optional[object] = field(default=None, repr=False)
     _put_pool: ThreadPoolExecutor = field(
@@ -338,13 +346,49 @@ class EmbeddingEngine:
         with ThreadPoolExecutor(max_workers=self.io_threads) as ex:
             return list(ex.map(load, paths))
 
+    def _cache_key(self, path: str, trim: bool):
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None  # unstatable: let the embed path report the error
+        return (os.path.abspath(path), trim, st.st_mtime_ns, st.st_size)
+
     def embed_files(
         self, paths: Sequence[str], trim: bool = False, progress: bool = False
     ) -> np.ndarray:
         """File -> embedding pipeline. When the native ingest library is
         available, decode/fold/resample/pad runs entirely in the C++ thread
         pool straight into the padded device batch (GIL-free); falls back to
-        the Python decoder otherwise (bit-identical results, tested)."""
+        the Python decoder otherwise (bit-identical results, tested).
+
+        With ``file_cache`` enabled, unchanged files (same path, mtime,
+        size) reuse their previous embedding — embeddings are deterministic
+        per (params, file), so results are bit-identical to a full run."""
+        if self.file_cache is None or len(paths) == 0:
+            return self._embed_files_uncached(paths, trim, progress)
+        keys = [self._cache_key(p, trim) for p in paths]
+        missing = [
+            i for i, k in enumerate(keys)
+            if k is None or k not in self.file_cache
+        ]
+        self.cache_hits += len(paths) - len(missing)
+        if missing:
+            fresh = self._embed_files_uncached(
+                [paths[i] for i in missing], trim, progress
+            )
+            for row, i in enumerate(missing):
+                if keys[i] is not None:
+                    self.file_cache[keys[i]] = fresh[row]
+        if not missing:
+            return np.stack([self.file_cache[k] for k in keys])
+        fresh_it = iter(range(len(missing)))
+        missing_set = set(missing)
+        out = np.empty((len(paths), fresh.shape[1]), fresh.dtype)
+        for i, k in enumerate(keys):
+            out[i] = fresh[next(fresh_it)] if i in missing_set else self.file_cache[k]
+        return out
+
+    def _embed_files_uncached(self, paths, trim, progress) -> np.ndarray:
         native_emb = self._embed_files_native(paths, trim, progress)
         if native_emb is not None:
             return native_emb

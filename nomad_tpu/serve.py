@@ -11,8 +11,13 @@ Requests:
    "results_path": <dir or null>}
   {"op": "embed", "paths": [...]}
   {"op": "loss", "estimate": [[...]], "clean": [[...]]}
-  {"op": "stats"}      -> profiling spans
+  {"op": "warm", "seconds": [10, 30]}  -> concurrent shape pre-compile
+  {"op": "stats"}      -> profiling spans + embedding-cache counters
   {"op": "ping"} / {"op": "shutdown"}
+
+Unchanged files (path/mtime/size) reuse their embedding across requests
+(disable with --no-cache): a fixed NMR pool embeds once per server
+lifetime, not once per score request.
 
 Run: ``python -m nomad_tpu.serve`` (add ``--model tiny`` for smoke tests).
 """
@@ -25,7 +30,7 @@ import traceback
 
 
 class NomadServer:
-    def __init__(self, nomad=None, model: str = "base"):
+    def __init__(self, nomad=None, model: str = "base", cache: bool = True):
         if nomad is None:
             from .api import Nomad
             from .models import Wav2Vec2Config
@@ -36,6 +41,11 @@ class NomadServer:
             emb_dim = 16 if model == "tiny" else 256
             nomad = Nomad(config=cfg, emb_dim=emb_dim)
         self.nomad = nomad
+        if cache:
+            # unchanged files (same path/mtime/size) reuse their embedding
+            # across requests: a fixed NMR pool embeds once per server
+            # lifetime instead of once per score request
+            self.nomad.engine.file_cache = {}
 
     def warmup(self, seconds=(10.0,)) -> dict:
         """Pre-compile (or cache-load) the standard bucket shapes so the
@@ -62,7 +72,17 @@ class NomadServer:
         if op == "stats":
             from .utils.profiling import GLOBAL
 
-            return {"ok": True, "stats": GLOBAL.stats()}
+            eng = self.nomad._engine
+            cache = getattr(eng, "file_cache", None) if eng else None
+            return {
+                "ok": True,
+                "stats": GLOBAL.stats(),
+                "embed_cache": {
+                    "enabled": cache is not None,
+                    "entries": len(cache) if cache is not None else 0,
+                    "hits": eng.cache_hits if eng else 0,
+                },
+            }
         if op == "score":
             avg, dm = self.nomad.predict(
                 req.get("mode", "dir"), req["nmr"], req["deg"],
@@ -121,8 +141,14 @@ def main(argv=None):
         help="pre-compile bucket shapes for these file durations at "
         "startup (e.g. --warm 10 30)",
     )
+    ap.add_argument(
+        "--no-cache",
+        action="store_true",
+        help="disable the per-file embedding cache (unchanged files reuse "
+        "their embedding across requests by default)",
+    )
     args = ap.parse_args(argv)
-    server = NomadServer(model=args.model)
+    server = NomadServer(model=args.model, cache=not args.no_cache)
     if args.warm is not None:
         durations = tuple(args.warm) or (10.0,)
         print(json.dumps({"warmed_s": server.warmup(durations)}),

@@ -74,6 +74,34 @@ def test_prewarm_compiles_planned_shapes(tiny_setup):
     assert all(k in engine._jitted for k in keys)
 
 
+def test_file_cache_mixed_hits_preserve_order(tiny_setup, tmp_path, rng):
+    """Cached + fresh files interleaved must come back in request order,
+    bit-identical to an uncached run."""
+    from nomad_tpu.io import write_wav
+
+    cfg, _oracle, model, params = tiny_setup
+    paths = []
+    for i in range(5):
+        w = (0.1 * rng.standard_normal(700 + 60 * i)).astype(np.float32)
+        p = str(tmp_path / f"c{i}.wav")
+        write_wav(p, w[None], 16000, bits=16)
+        paths.append(p)
+
+    plain = EmbeddingEngine(model, params)
+    want = plain.embed_files(paths)
+
+    cached = EmbeddingEngine(model, params, file_cache={})
+    # seed the cache with files 1 and 3 only
+    cached.embed_files([paths[1], paths[3]])
+    assert cached.cache_hits == 0
+    got = cached.embed_files(paths)  # 2 hits + 3 misses, interleaved
+    assert cached.cache_hits == 2
+    np.testing.assert_array_equal(got, want)
+    # full second pass: all hits
+    np.testing.assert_array_equal(cached.embed_files(paths), want)
+    assert cached.cache_hits == 7
+
+
 def test_engine_matches_direct_apply(tiny_setup):
     cfg, oracle, model, params = tiny_setup
     rng = np.random.default_rng(5)

@@ -73,6 +73,43 @@ def test_embed_and_score(server, tmp_path, rng):
     assert "engine.submit" in spans or "engine.native_ingest" in spans
 
 
+def test_embedding_cache_across_requests(server, tmp_path, rng):
+    """Second score request against the same files reuses their
+    embeddings (bit-identical scores), and stats reports the hits; an
+    edited file is re-embedded."""
+    nmr = tmp_path / "cnmr"
+    deg = tmp_path / "cdeg"
+    nmr.mkdir()
+    deg.mkdir()
+    for i in range(3):
+        w = (0.2 * rng.standard_normal(1100)).astype(np.float32)
+        write_wav(str(nmr / f"n{i}.wav"), w[None], 16000, bits=16)
+    wd = (0.2 * rng.standard_normal(900)).astype(np.float32)
+    write_wav(str(deg / "d0.wav"), wd[None], 16000, bits=16)
+
+    req = {"op": "score", "nmr": str(nmr), "deg": str(deg)}
+    r1, r2, st = roundtrip(server, [req, req, {"op": "stats"}])
+    assert r1["ok"] and r2["ok"]
+    assert r1["avg"] == r2["avg"]
+    assert r1["pairwise"] == r2["pairwise"]
+    assert st["embed_cache"]["enabled"]
+    assert st["embed_cache"]["entries"] >= 4
+    assert st["embed_cache"]["hits"] >= 4  # all 4 files on request 2
+
+    # mutate the degraded file: its score must change (no stale cache).
+    # NB different content, not different gain — the backbone is
+    # scale-invariant (GroupNorm after the bias-free conv_0)
+    import os
+    import time as _t
+
+    wd2 = (0.2 * rng.standard_normal(1400)).astype(np.float32)
+    write_wav(str(deg / "d0.wav"), wd2[None], 16000, bits=16)
+    os.utime(str(deg / "d0.wav"), ns=(_t.time_ns(), _t.time_ns() + 10**9))
+    r3 = roundtrip(server, [req])[0]
+    assert r3["ok"]
+    assert r3["pairwise"] != r1["pairwise"]
+
+
 def test_loss_and_shutdown(server, rng):
     est = (0.1 * rng.standard_normal((1, 1600))).astype(np.float32).tolist()
     clean = (0.1 * rng.standard_normal((1, 1600))).astype(np.float32).tolist()
