@@ -77,21 +77,36 @@ def measure_cpu_baseline(seconds: float, n_files: int = 3) -> float:
     return rate
 
 
-def measure_h2d_bandwidth() -> float:
-    """Instantaneous host->device rate (MB/s) on bench-like int16 payload."""
-    import jax
-    import jax.numpy as jnp
+def measure_h2d_bandwidth() -> tuple:
+    """Host->device rate (MB/s) on bench-like int16 payload: single-stream,
+    and with the engine's parallel-stream recipe (what the pipeline
+    actually achieves — the relay sustains 2-3x single-stream with 4-8
+    concurrent puts)."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    arr = np.concatenate([np.asarray(w) for w in synth_waves(8, 10.0, seed=9)])
-    arr = np.stack([arr] * 2)  # ~5 MB
+    import jax
+
+    arr = np.stack([np.asarray(w) for w in synth_waves(32, 10.0, seed=9)])  # ~10 MB
     jax.device_put(arr[:1, :100])
-    best = np.inf
-    for _ in range(3):
+
+    def once_single():
         t0 = time.time()
         d = jax.device_put(arr)
-        _ = np.asarray(jnp.sum(d[..., ::65536].astype(jnp.int32)))
-        best = min(best, time.time() - t0)
-    return arr.nbytes / 1e6 / best
+        np.asarray(d[:1, :1])
+        return arr.nbytes / 1e6 / (time.time() - t0)
+
+    def once_parallel():
+        rows = np.array_split(arr, 8, axis=0)
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            t0 = time.time()
+            parts = list(ex.map(jax.device_put, rows))
+            for p in parts:
+                np.asarray(p[:1, :1])
+            return arr.nbytes / 1e6 / (time.time() - t0)
+
+    single = max(once_single() for _ in range(2))
+    parallel = max(once_parallel() for _ in range(2))
+    return single, parallel
 
 
 def main():
@@ -171,7 +186,7 @@ def main():
     value = total_wav_sec / best / (n_dev if mesh is not None else 1)
 
     # --- secondary legs for the detail record ---
-    h2d = measure_h2d_bandwidth()
+    h2d, h2d_par = measure_h2d_bandwidth()
 
     # compute-only ceiling: one resident bucket batch
     blen = 1 << int(np.ceil(np.log2(seconds * 16000)))
@@ -231,6 +246,7 @@ def main():
             "compute_wss": round(compute_wss, 1),
             "file_mode_wss": round(file_wss, 1) if file_wss else None,
             "h2d_MBps": round(h2d, 1),
+            "h2d_parallel_MBps": round(h2d_par, 1),
             "cpu_baseline_wav_sec_per_sec": round(baseline, 2),
             "backend": jax.default_backend(),
             "n_devices": n_dev,

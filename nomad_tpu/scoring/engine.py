@@ -199,26 +199,29 @@ class EmbeddingEngine:
 
         The remote compile service overlaps compiles almost perfectly
         (measured: 3 fresh BASE shapes in 22.6 s vs 44.8 s for 2 run
-        sequentially), so warming k shapes costs ~the slowest one. Each
-        warm call executes the jitted fn once on device-resident zeros —
-        that both compiles it and primes jit's internal cache (a bare
-        .lower().compile() would only fill the persistent disk cache)."""
+        sequentially), so warming k shapes costs ~the slowest one.
+        Compilation needs only avals, not values — fn.lower(shape_structs)
+        .compile() fills the persistent cache while the ~380 MB param
+        transfer streams in parallel; the first real call then loads the
+        executable from disk in ~1 s instead of recompiling."""
         keys = [k for k in keys if k not in self._jitted]
         if len(keys) < min_keys:
-            # a lone new shape compiles at first use anyway; warming it
-            # here would only add a zeros execution
+            # a lone new shape compiles at first use anyway
             return
-        params = self._device_params()
+        p_aval = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+            if not hasattr(x, "aval") else jax.ShapeDtypeStruct(x.shape, x.dtype),
+            self.params,
+        )
 
         def warm(key):
             bsz, blen, i16 = key
             fn = self._get_fn(bsz, blen, i16)
-            w = jnp.zeros((bsz, blen), jnp.int16 if i16 else jnp.float32)
-            l = jnp.full((bsz,), blen, jnp.int32)
-            if self.mesh is not None:
-                sh = batch_sharding(self.mesh)
-                w, l = jax.device_put(w, sh), jax.device_put(l, sh)
-            np.asarray(jax.tree_util.tree_leaves(fn(params, w, l))[0][:1, :1])
+            w = jax.ShapeDtypeStruct(
+                (bsz, blen), jnp.int16 if i16 else jnp.float32
+            )
+            l = jax.ShapeDtypeStruct((bsz,), jnp.int32)
+            fn.lower(p_aval, w, l).compile()
 
         with ThreadPoolExecutor(max_workers=min(4, len(keys))) as ex:
             list(ex.map(warm, keys))
@@ -235,7 +238,23 @@ class EmbeddingEngine:
             keys.append((self.batch_size_for(blen), blen, int16))
             if single:
                 keys.append((self.batch_size_for(blen, remaining=1), blen, int16))
+        params_future = self._params_async()  # overlap transfer with compiles
         self._prewarm_keys(dict.fromkeys(keys), min_keys=1)
+        params_future.result()
+
+    def _params_async(self):
+        """Future for the device-resident params: starts the transfer on a
+        helper thread so planning/compilation overlaps the wire time."""
+        from concurrent.futures import Future
+
+        if self._params_device is not None:
+            done: Future = Future()
+            done.set_result(self._params_device)
+            return done
+        ex = ThreadPoolExecutor(max_workers=1)
+        fut = ex.submit(self._device_params)
+        ex.shutdown(wait=False)
+        return fut
 
     def batch_size_for(self, length: int, remaining: Optional[int] = None) -> int:
         b = max(1, self.batch_sample_budget // max(length, 1))
@@ -265,7 +284,9 @@ class EmbeddingEngine:
         if n == 0:
             return np.zeros((0, self.model.emb_dim), np.float32)
         order = sorted(range(n), key=lambda i: len(waves[i]))
-        params = self._device_params()
+        # start the (up to ~380 MB) param transfer now; shape compiles
+        # below need only avals and run concurrently with it
+        params_future = self._params_async()
         out: dict[int, np.ndarray] = {}
 
         # group by bucket
@@ -313,6 +334,7 @@ class EmbeddingEngine:
             (bsz, blen, all(i16able[i] for i in chunk))
             for chunk, bsz, blen in chunks
         ))
+        params = params_future.result()
 
         def assemble(job):
             chunk, bsz, blen = job
@@ -450,10 +472,11 @@ class EmbeddingEngine:
         for blen, sr, i16, idx in plan:
             groups.setdefault((blen, sr, i16), []).append(idx)
 
-        params = self._device_params()
+        params_future = self._params_async()
 
         # parallel-compile all planned shapes first (predicted transfer
-        # dtype: raw-i16 loader, or the quantize-to-PCM16 path)
+        # dtype: raw-i16 loader, or the quantize-to-PCM16 path); the param
+        # transfer streams underneath
         plan_keys = []
         for (blen, sr, i16), idxs in sorted(groups.items()):
             pred_i16 = i16 or self.quantize_transfer
@@ -467,6 +490,7 @@ class EmbeddingEngine:
                 plan_keys.append((bsz, blen, pred_i16))
                 start += bsz
         self._prewarm_keys(dict.fromkeys(plan_keys))
+        params = params_future.result()
 
         out: dict[int, np.ndarray] = {}
         pending = []
