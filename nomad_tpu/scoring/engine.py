@@ -37,7 +37,15 @@ from ..parallel.mesh import batch_sharding, replicated
 from ..utils.profiling import timed
 
 MIN_BUCKET = 4096  # samples (~0.26 s); below this, padding waste is noise
-DEFAULT_BATCH_SAMPLE_BUDGET = 32 * 163_840  # ~32 files x 10 s per batch
+# ~96 files x 10 s per batch: measured on v5e (round-2 sweep, NOTES) —
+# 1562/1796/2041/2152 wav-s/s at B=16/32/64/96 for 10 s buckets; the
+# attention-score cap below keeps long-file buckets inside HBM.
+DEFAULT_BATCH_SAMPLE_BUDGET = 96 * 163_840
+# XLA materializes two [B, H, T', T'] f32 buffers per block (scores +
+# softmax output; layers are sequential so only one block's pair is live).
+# 19.8 GB demanded at [12, 12, 4095, 4095] OOMed a 15.75 GB v5e — cap the
+# pair at 8 GB, leaving headroom for activations and the remat stack.
+ATTN_SCORE_BYTES_BUDGET = 8 << 30
 MAX_BATCH = 256
 PCM16_SCALE = 32768.0
 
@@ -242,6 +250,23 @@ class EmbeddingEngine:
         self._prewarm_keys(dict.fromkeys(keys), min_keys=1)
         params_future.result()
 
+    def _attn_batch_cap(self, length: int) -> int:
+        """Largest batch whose attention-score buffers fit the HBM budget
+        (quadratic in frame count — the binding constraint for long files;
+        the linear sample budget binds for short ones)."""
+        cfg = getattr(self.model, "config", None)
+        if cfg is None:
+            return MAX_BATCH
+        try:
+            from ..models.wav2vec2 import feature_frame_lengths
+
+            frames = int(feature_frame_lengths(np.asarray(length), cfg))
+            heads = cfg.num_heads
+        except Exception:
+            return MAX_BATCH
+        per_item = 2 * heads * frames * frames * 4
+        return max(1, ATTN_SCORE_BYTES_BUDGET // max(per_item, 1))
+
     def _params_async(self):
         """Future for the device-resident params: starts the transfer on a
         helper thread so planning/compilation overlaps the wire time."""
@@ -258,7 +283,7 @@ class EmbeddingEngine:
 
     def batch_size_for(self, length: int, remaining: Optional[int] = None) -> int:
         b = max(1, self.batch_sample_budget // max(length, 1))
-        b = min(b, MAX_BATCH)
+        b = min(b, MAX_BATCH, self._attn_batch_cap(length))
         if self.mesh is not None:
             n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
             b = max(n, (b // n) * n)
