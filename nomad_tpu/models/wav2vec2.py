@@ -64,7 +64,17 @@ class Wav2Vec2Config:
     # divergence — layerdrop in a scanned stack is a keep-mask multiply).
     layerdrop: float = 0.0
     dtype: Any = jnp.float32        # compute dtype (params stay float32)
-    attention_impl: str = "xla"     # 'xla' | 'pallas'
+    # 'xla' (default): einsum attention — XLA fuses the projection
+    # epilogues straight into the score matmuls, and in-model that beats
+    # the flash kernel at every measured shape (encoder@T'=2047: 368 vs
+    # 400 ms; @T'=4095: 281 vs 309) even though the kernel wins 1.6-1.7x
+    # in isolation (the pallas call boundary forces q/k/v materialization
+    # + [B,T,H,D]<->[BH,T,D] relayouts that eat the win).
+    # 'auto': flash-HIGHEST for T' in [1024, 4096] — opt in when the
+    # einsum path's two [B, H, T', T'] f32 buffers are the binding HBM
+    # constraint (large batches of >20 s files); scores match to ~5e-6.
+    # 'pallas': force the kernel everywhere (kernel benchmarking).
+    attention_impl: str = "xla"
     remat: bool = False
     # TPU MXU precision for matmuls/convs: 'default' (bf16, fastest, ~1e-3
     # embedding error — breaks the parity budget), 'high' (bf16_3x, ~1e-5,

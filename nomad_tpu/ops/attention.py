@@ -21,6 +21,18 @@ import jax.numpy as jnp
 
 NEG_INF = -1e9  # large-negative additive mask; exp underflows to exactly 0 in f32
 
+# 'auto' dispatch window for the flash kernel (frames, i.e. ~20 ms units):
+#   * below 1024 the einsum path wins — XLA fuses scale/softmax into two
+#     short matmuls and the score matrix is small (T'=511: xla 4.65 ms vs
+#     flash-HIGHEST 5.75 ms)
+#   * in [1024, 4096] flash-HIGHEST is ~1.6-1.7x faster (T=2048: 13.8 vs
+#     23.8 ms; T=4096: 14.5 vs 22.7) at 7e-6 error AND O(T) memory — the
+#     einsum path's two [B, H, T, T] f32 buffers are what OOM long files
+#   * above 4096 the forward's VMEM-resident K/V no longer fits; XLA again
+#     (rare: >80 s files)
+AUTO_FLASH_MIN_T = 1024
+AUTO_FLASH_MAX_T = 4096
+
 
 def mha_xla(q, k, v, key_mask=None):
     """Attention on [B, T, H, D] tensors.
@@ -43,6 +55,22 @@ def mha_xla(q, k, v, key_mask=None):
 
 
 def mha(q, k, v, key_mask=None, impl: str = "xla"):
+    if impl == "auto":
+        t = q.shape[1]
+        if (
+            AUTO_FLASH_MIN_T <= t <= AUTO_FLASH_MAX_T
+            and jax.default_backend() == "tpu"
+        ):
+            from .flash_attention import mha_pallas
+
+            # HIGHEST: f32 dots inside the kernel — 7e-6 from the einsum
+            # reference, parity-grade (the DEFAULT bf16 variant's 2.5e-4
+            # embedding error is what kept pallas off the scoring path)
+            return mha_pallas(
+                q, k, v, key_mask=key_mask,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        impl = "xla"
     if impl == "pallas":
         from .flash_attention import mha_pallas
 

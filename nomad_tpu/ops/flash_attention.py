@@ -398,4 +398,11 @@ def mha_pallas(q, k, v, key_mask=None, block_q: int = 512, block_k: int = 2048,
     bk = 1 << max(7, (_round_up(t, 128) - 1).bit_length())
     bk = min(block_k, bk)
     bq = min(block_q, bk)
+    if _round_up(t, bk) > 2048:
+        # beyond the single-pass regime the [bq, bk] softmax temporaries
+        # plus the VMEM-resident K/V overflow the ~16 MB scoped budget at
+        # wide blocks ((512, 2048) @ T=4096 OOMed; (512, 1024) runs at
+        # 14.5 ms/attn vs XLA's 22.7 — round-2 sweep)
+        bk = min(bk, 1024)
+        bq = min(bq, 512)
     return _mha_pallas(q, k, v, key_mask, bq, bk, interpret, precision)

@@ -259,10 +259,21 @@ class EmbeddingEngine:
             return MAX_BATCH
         try:
             from ..models.wav2vec2 import feature_frame_lengths
+            from ..ops.attention import AUTO_FLASH_MAX_T, AUTO_FLASH_MIN_T
 
             frames = int(feature_frame_lengths(np.asarray(length), cfg))
             heads = cfg.num_heads
         except Exception:
+            return MAX_BATCH
+        impl = getattr(cfg, "attention_impl", "xla")
+        flash = impl == "pallas" or (
+            impl == "auto"
+            and AUTO_FLASH_MIN_T <= frames <= AUTO_FLASH_MAX_T
+            and jax.default_backend() == "tpu"
+        )
+        if flash:
+            # flash streams K/V: no [B, H, T', T'] buffers, the linear
+            # sample budget is the binding constraint again
             return MAX_BATCH
         per_item = 2 * heads * frames * frames * 4
         return max(1, ATTN_SCORE_BYTES_BUDGET // max(per_item, 1))

@@ -153,3 +153,73 @@ def test_nondivisible_block_lengths(rng, t):
     ref = np.asarray(mha_xla(q, k, v))
     out = np.asarray(mha_pallas(q, k, v, interpret=True))
     assert np.max(np.abs(ref - out)) < 1e-5  # ALL rows, incl. the tail
+
+
+def test_auto_dispatch(qkv, monkeypatch):
+    """impl='auto': xla off-TPU or at short T; flash-HIGHEST inside the
+    [1024, 4096]-frame window on TPU (simulated via monkeypatched
+    backend — numerics checked in interpret mode)."""
+    from nomad_tpu.ops import attention as att
+
+    q, k, v = qkv  # T=200 < window -> xla regardless of backend
+    np.testing.assert_array_equal(
+        np.asarray(att.mha(q, k, v, impl="auto")),
+        np.asarray(att.mha_xla(q, k, v)),
+    )
+
+    calls = {}
+
+    def fake_flash(q, k, v, key_mask=None, precision=None, **kw):
+        calls["precision"] = precision
+        return att.mha_xla(q, k, v, key_mask=key_mask)
+
+    monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(
+        "nomad_tpu.ops.flash_attention.mha_pallas", fake_flash
+    )
+    long_q = jnp.zeros((1, 1024, 2, 8), jnp.float32)
+    att.mha(long_q, long_q, long_q, impl="auto")
+    assert calls["precision"] == jax.lax.Precision.HIGHEST
+    calls.clear()
+    very_long = jnp.zeros((1, 4097, 2, 8), jnp.float32)
+    att.mha(very_long, very_long, very_long, impl="auto")
+    assert not calls  # beyond the VMEM-safe window: xla
+
+
+def test_auto_flash_window_numerics(rng):
+    """Window-sized sequence through the real kernel (interpret mode,
+    HIGHEST precision, small B/H to keep it fast): matches einsum."""
+    B, T, H, D = 1, 1024, 1, 16
+    mk = lambda: jnp.asarray(
+        (0.3 * rng.standard_normal((B, T, H, D))).astype(np.float32)
+    )
+    q, k, v = mk(), mk(), mk()
+    out = mha_pallas(q, k, v, interpret=True,
+                     precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(mha_xla(q, k, v)), atol=2e-5
+    )
+
+
+def test_attn_batch_cap_flash_vs_xla(monkeypatch):
+    """The engine's quadratic score cap applies to the einsum path only;
+    flash buckets fall back to the linear sample budget."""
+    import jax as _jax
+
+    from nomad_tpu.models import NomadModel, Wav2Vec2Config
+    from nomad_tpu.scoring import engine as eng
+
+    model = NomadModel(Wav2Vec2Config.base(attention_impl="xla"), emb_dim=256)
+    e = eng.EmbeddingEngine(model, params={})
+    quad = e._attn_batch_cap(1_310_720)  # 80 s -> T'=4095
+    assert quad <= 5  # two 9 GB score buffers at B=12 OOMed the chip
+    assert e.batch_size_for(1_310_720) <= 4  # power-of-two floor
+
+    monkeypatch.setattr(eng.jax, "default_backend", lambda: "tpu")
+    model_auto = NomadModel(
+        Wav2Vec2Config.base(attention_impl="auto"), emb_dim=256
+    )
+    e2 = eng.EmbeddingEngine(model_auto, params={})
+    assert e2._attn_batch_cap(655_360) == eng.MAX_BATCH  # T'=2047: flash
+    assert e2._attn_batch_cap(1_310_720) == eng.MAX_BATCH  # T'=4095: flash
+    assert e2._attn_batch_cap(2_621_440) <= 2  # T'=8191: beyond window -> quad cap
