@@ -116,8 +116,9 @@ def test_serve_main_argparse(monkeypatch, tiny):
 
     created = {}
 
-    def fake_server(model="base"):
+    def fake_server(model="base", cache=True):
         created["model"] = model
+        created["cache"] = cache
 
         class S:
             def run(self):
@@ -128,3 +129,6 @@ def test_serve_main_argparse(monkeypatch, tiny):
     monkeypatch.setattr(serve, "NomadServer", fake_server)
     serve.main(["--model", "tiny"])
     assert created["model"] == "tiny"
+    assert created["cache"] is True
+    serve.main(["--model", "tiny", "--no-cache"])
+    assert created["cache"] is False
