@@ -164,6 +164,11 @@ def main():
     engine = EmbeddingEngine(model, params, mesh=mesh)
     deg = synth_waves(n_deg, seconds, seed=2)
     nmr = synth_waves(n_nmr, seconds, seed=3)
+    # cold-start = max(param transfer, shape compiles): prewarm lowers the
+    # planned shapes from avals (concurrently) while the ~380 MB param
+    # pytree streams to the device
+    if mesh is None:
+        engine.prewarm((seconds,))
 
     def run():
         # single engine pass (deg + nmr) so every batch pipelines
