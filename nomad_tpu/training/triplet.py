@@ -242,8 +242,8 @@ class Training:
 
     # ------------- jitted steps -------------
 
-    def _get_step(self, shape):
-        fn = self._step_cache.get(shape)
+    def _get_step(self, shape, i16: bool = False):
+        fn = self._step_cache.get((shape, i16))
         if fn is None:
             model = self.model
             tx = self.tx
@@ -259,6 +259,10 @@ class Training:
                     # makes the batch dimension independent, so results are
                     # identical to separate forwards)
                     wav = jnp.concatenate([a, p_, n], axis=0)
+                    if i16:
+                        # PCM16-grid batches ship as int16 (half the wire
+                        # bytes); exact on-device dequantize
+                        wav = wav.astype(jnp.float32) / 32768.0
                     lengths = jnp.concatenate([la, lp, ln], axis=0)
                     emb = model.apply(
                         prm, wav, lengths=lengths if masked else None,
@@ -286,11 +290,11 @@ class Training:
                 )
             else:
                 fn = jax.jit(step, donate_argnums=(0, 1))
-            self._step_cache[shape] = fn
+            self._step_cache[(shape, i16)] = fn
         return fn
 
-    def _get_eval_step(self, shape):
-        fn = self._eval_cache.get(shape)
+    def _get_eval_step(self, shape, i16: bool = False):
+        fn = self._eval_cache.get((shape, i16))
         if fn is None:
             model = self.model
             margin = self.margin
@@ -298,6 +302,8 @@ class Training:
 
             def step(params, a, p_, n, la, lp, ln):
                 wav = jnp.concatenate([a, p_, n], axis=0)
+                if i16:
+                    wav = wav.astype(jnp.float32) / 32768.0
                 lengths = jnp.concatenate([la, lp, ln], axis=0)
                 emb = model.apply(
                     params, wav, lengths=lengths if masked else None
@@ -317,7 +323,7 @@ class Training:
                 )
             else:
                 fn = jax.jit(step)
-            self._eval_cache[shape] = fn
+            self._eval_cache[(shape, i16)] = fn
         return fn
 
     # ------------- epoch loops -------------
@@ -335,13 +341,17 @@ class Training:
 
     def train(self, loader=None, rng_seed: int = 0) -> float:
         loader = loader or self.train_loader
-        total = 0.0
-        nb = 0
+        # losses stay device-side until the epoch ends: a float() per step
+        # would serialize the loop (transfer -> compute -> transfer),
+        # while async dispatch pipelines the next batch's host->device
+        # copy under the current step's compute
+        losses = []
         key = jax.random.key(rng_seed)
         for batch in self._progress(loader):
             key, sub = jax.random.split(key)
-            shape = batch.anchor.shape
-            fn = self._get_step(shape)
+            fn = self._get_step(
+                batch.anchor.shape, batch.anchor.dtype == np.int16
+            )
             self.params, self.opt_state, loss = fn(
                 self.params, self.opt_state,
                 jnp.asarray(batch.anchor), jnp.asarray(batch.positive),
@@ -350,26 +360,24 @@ class Training:
                 jnp.asarray(batch.lengths_n),
                 jnp.float32(self.lr_backbone), jnp.float32(self.lr_head), sub,
             )
-            total += float(loss)
-            nb += 1
-        return total / max(nb, 1)
+            losses.append(loss)
+        return float(np.mean([float(l) for l in losses])) if losses else 0.0
 
     def eval(self, loader=None) -> float:
         loader = loader or self.valid_loader
-        total = 0.0
-        nb = 0
+        losses = []
         for batch in self._progress(loader):
-            fn = self._get_eval_step(batch.anchor.shape)
-            loss = fn(
+            fn = self._get_eval_step(
+                batch.anchor.shape, batch.anchor.dtype == np.int16
+            )
+            losses.append(fn(
                 self.params,
                 jnp.asarray(batch.anchor), jnp.asarray(batch.positive),
                 jnp.asarray(batch.negative),
                 jnp.asarray(batch.lengths_a), jnp.asarray(batch.lengths_p),
                 jnp.asarray(batch.lengths_n),
-            )
-            total += float(loss)
-            nb += 1
-        return total / max(nb, 1)
+            ))
+        return float(np.mean([float(l) for l in losses])) if losses else 0.0
 
     def training_loop(self):
         cfg = self.config

@@ -102,6 +102,43 @@ def test_loader_shapes_and_bucketing(triplet_tree):
         assert b.anchor.shape[1] % 4096 == 0  # bucketed
 
 
+def test_collate_int16_transfer_path(triplet_tree):
+    """PCM16-sourced waves collate to int16 batches (half the wire bytes);
+    off-grid floats keep f32; the jitted steps dequantize exactly so both
+    dtypes give the same loss."""
+    from nomad_tpu.training.data import collate_triplets
+
+    cfg = make_config(triplet_tree)
+    ds = TripletDataset(cfg, "train_df", level=[1, 2])
+    items = [ds.load_item(i) for i in range(2)]
+    b = collate_triplets(items)
+    assert b.anchor.dtype == np.int16  # wavs were written as PCM16
+
+    rng = np.random.default_rng(0)
+    off = [(tuple(0.1 * rng.standard_normal(700).astype(np.float32)
+                  for _ in range(3))) for _ in range(2)]
+    b2 = collate_triplets(off)
+    assert b2.anchor.dtype == np.float32
+
+    # loss parity int16 vs f32 through the jitted eval step
+    tr = Training(
+        {"experiment_name": "none", "margin": 0.2, "emb_dim": 16,
+         "masked_pool": True, "model_size": "tiny"},
+    )
+    tr.margin = 0.2
+    f_i16 = tr._get_eval_step(b.anchor.shape, True)
+    f_f32 = tr._get_eval_step(b.anchor.shape, False)
+    args = (jnp.asarray(b.lengths_a), jnp.asarray(b.lengths_p),
+            jnp.asarray(b.lengths_n))
+    l_i16 = float(f_i16(tr.params, jnp.asarray(b.anchor),
+                        jnp.asarray(b.positive), jnp.asarray(b.negative),
+                        *args))
+    dq = lambda x: jnp.asarray(x.astype(np.float32) / 32768.0)
+    l_f32 = float(f_f32(tr.params, dq(b.anchor), dq(b.positive),
+                        dq(b.negative), *args))
+    assert abs(l_i16 - l_f32) < 1e-6
+
+
 def test_param_labels_freeze_policy():
     cfg = Wav2Vec2Config.tiny()
     model = NomadModel(cfg, emb_dim=16)
