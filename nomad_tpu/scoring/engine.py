@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
@@ -87,6 +88,14 @@ class EmbeddingEngine:
     # the pool's decode+embed work after the first request.
     file_cache: Optional[dict] = None
     cache_hits: int = field(default=0, repr=False)
+    # Adaptive transfer mode: the relay's concurrency benefit is weather —
+    # the round-2 study measured 2-3x from 4-8 parallel streams, but some
+    # days single-stream wins outright (bench logged 44 MB/s single vs
+    # 20 MB/s parallel on one run). The first two large batches probe one
+    # mode each (timed with a blocking readback); the winner serves the
+    # rest of the engine's lifetime.
+    _put_mode: Optional[str] = field(default=None, repr=False)
+    _put_probes: dict = field(default_factory=dict, repr=False)
     _jitted: dict = field(default_factory=dict, repr=False)
     _params_device: Optional[object] = field(default=None, repr=False)
     _put_pool: ThreadPoolExecutor = field(
@@ -139,8 +148,34 @@ class EmbeddingEngine:
                 lengths.astype(np.int32), sh
             )
         if batch.nbytes >= self.parallel_put_min_bytes and batch.shape[0] > 1:
+            mode = self._put_mode
+            probing = mode is None
+            if probing:
+                # try the mode we haven't timed yet (parallel first)
+                mode = "parallel" if "parallel" not in self._put_probes \
+                    else "single"
+                t0 = time.perf_counter()
+            put = self._put_large(batch, mode)
+            if probing:
+                # blocking readback: device_put is async, only a readback
+                # bounds the wire time. Costs one sync on each of the two
+                # probe batches, then the winner runs un-synced.
+                np.asarray(put[:1, :1])
+                self._put_probes[mode] = batch.nbytes / (
+                    time.perf_counter() - t0
+                )
+                if len(self._put_probes) == 2:
+                    self._put_mode = max(
+                        self._put_probes, key=self._put_probes.get
+                    )
+        else:
+            put = jax.device_put(batch, self.device)
+        return put, jax.device_put(lengths.astype(np.int32), self.device)
+
+    def _put_large(self, batch: np.ndarray, mode: str):
+        if mode == "parallel":
             # ~1.5 MB per stream, up to 8 streams: measured knee of the
-            # relay's concurrency benefit
+            # relay's concurrency benefit (when it has one — see _put_mode)
             n = min(8, batch.shape[0],
                     max(2, batch.nbytes // (1536 * 1024)))
             rows = np.array_split(batch, n, axis=0)
@@ -148,10 +183,8 @@ class EmbeddingEngine:
             parts = list(self._put_pool.map(
                 lambda r: jax.device_put(r, dev), rows
             ))
-            put = jnp.concatenate(parts, axis=0)
-        else:
-            put = jax.device_put(batch, self.device)
-        return put, jax.device_put(lengths.astype(np.int32), self.device)
+            return jnp.concatenate(parts, axis=0)
+        return jax.device_put(batch, self.device)
 
     @staticmethod
     def _wave_i16able(w: np.ndarray) -> bool:
