@@ -124,12 +124,18 @@ def main():
     # CPU baseline first (torch must not see the TPU; it is CPU-only anyway)
     baseline = measure_cpu_baseline(seconds)
 
-    from nomad_tpu.utils.cache import enable_compilation_cache
+    from nomad_tpu.utils.cache import cpu_compile_bypass, enable_compilation_cache
 
     enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
+
+    # pay the relay's one-time d2h channel setup (36-267 s measured!) on a
+    # background thread NOW, overlapped with model init + shape compiles
+    from nomad_tpu.scoring.engine import warm_wire_async
+
+    warm_wire_async()
 
     from nomad_tpu.models import NomadModel, Wav2Vec2Config
     from nomad_tpu.ops import cdist
@@ -155,20 +161,36 @@ def main():
 
         params = {"params": _unflatten(dict(np.load(cache)))}
     else:
-        with jax.default_device(jax.devices("cpu")[0]):
-            params = model.init(
-                jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
-            )
-        params = jax.device_get(params)
+        # no checkpoint: init the throwaway random params ON the device.
+        # Shipping 380 MB of random floats through the relay cost the
+        # round-3 prewarm 30-160 s depending on wire weather; a jitted
+        # on-device init transfers nothing and its executable lands in the
+        # workspace compile cache (~1 s warm).
+        import functools
+
+        init = jax.jit(
+            functools.partial(model.init, method=NomadModel.init_all)
+        )
+        params = init(jax.random.key(0), jnp.zeros((1, 4000), jnp.float32))
+        jax.block_until_ready(params)
 
     engine = EmbeddingEngine(model, params, mesh=mesh)
     deg = synth_waves(n_deg, seconds, seed=2)
     nmr = synth_waves(n_nmr, seconds, seed=3)
-    # cold-start = max(param transfer, shape compiles): prewarm lowers the
-    # planned shapes from avals (concurrently) while the ~380 MB param
-    # pytree streams to the device
+    # cold-start = max(param transfer, shape compiles): prewarm compiles
+    # EVERY planned batch shape (full batches + tail) from avals,
+    # concurrently, while the ~380 MB param pytree streams to the device;
+    # the AOT executables are retained and dispatched directly, so the
+    # timed warmup below compiles nothing (round-2 regression: the 32-row
+    # tail shape cold-compiled inside the timed warmup)
+    t0 = time.time()
     if mesh is None:
-        engine.prewarm((seconds,))
+        engine.prewarm((seconds,), counts=(n_deg + n_nmr,), single=False)
+    # the distance-matrix shape too: a tiny compile, but through the
+    # remote-compile service even tiny compiles cost a round trip
+    np.asarray(cdist(np.zeros((n_deg, 256), np.float32),
+                     np.zeros((n_nmr, 256), np.float32)))
+    prewarm_s = time.time() - t0
 
     def run():
         # single engine pass (deg + nmr) so every batch pipelines
@@ -193,24 +215,25 @@ def main():
     # --- secondary legs for the detail record ---
     h2d, h2d_par = measure_h2d_bandwidth()
 
-    # compute-only ceiling: one resident bucket batch
-    blen = 1 << int(np.ceil(np.log2(seconds * 16000)))
+    # compute-only ceiling: one resident bucket batch, run through the SAME
+    # compiled executable and device params as the headline (no extra
+    # compile, no extra param transfer — both burned minutes in round 2)
     from nomad_tpu.scoring.engine import bucket_length
 
     blen = bucket_length(int(seconds * 16000))
     bsz = engine.batch_size_for(blen)
     wave_dev = jax.device_put(
-        np.stack([np.pad(np.asarray(deg[i], np.float32) / 32768.0,
-                         (0, blen - len(deg[i]))) for i in range(bsz)])
+        np.stack([np.pad(np.asarray(deg[i % n_deg], np.int16),
+                         (0, blen - len(deg[i % n_deg]))) for i in range(bsz)])
     )
     len_dev = jax.device_put(np.full((bsz,), int(seconds * 16000), np.int32))
-    fn = jax.jit(lambda p, w, l: model.apply(p, w, lengths=l))
-    pdev = jax.device_put(params)
-    np.asarray(fn(pdev, wave_dev, len_dev))
+    pdev = engine._device_params()
+    key = (bsz, blen, True)
+    np.asarray(engine._dispatch(key, pdev, wave_dev, len_dev))
     tbest = np.inf
     for _ in range(3):
         t0 = time.time()
-        r = fn(pdev, wave_dev, len_dev)
+        r = engine._dispatch(key, pdev, wave_dev, len_dev)
         np.asarray(r)
         tbest = min(tbest, time.time() - t0)
     compute_wss = bsz * seconds / tbest
@@ -247,11 +270,16 @@ def main():
             "precision": precision,
             "attention": attn,
             "warmup_s": round(warm, 2),
+            "prewarm_s": round(prewarm_s, 2),
             "steady_s": round(best, 3),
             "compute_wss": round(compute_wss, 1),
             "file_mode_wss": round(file_wss, 1) if file_wss else None,
             "h2d_MBps": round(h2d, 1),
             "h2d_parallel_MBps": round(h2d_par, 1),
+            # adaptive transfer mode: which mode the engine's in-run probe
+            # chose and what each measured (VERDICT r2 item 8)
+            "put_mode": engine.transfer_stats()["mode"],
+            "put_probe_MBps": engine.transfer_stats()["probes_MBps"],
             "cpu_baseline_wav_sec_per_sec": round(baseline, 2),
             "backend": jax.default_backend(),
             "n_devices": n_dev,

@@ -144,10 +144,16 @@ class Nomad:
     # ---------------- weights ----------------
 
     def _init_params(self):
+        from .utils.cache import cpu_compile_bypass
+
         wav = jnp.zeros((1, 4000), jnp.float32)
         # init on host: the seeded random init needs no accelerator, and
-        # jitting it through a remote-compile service wastes ~a minute
-        with jax.default_device(jax.devices("cpu")[0]):
+        # jitting it through a remote-compile service wastes ~a minute.
+        # cpu_compile_bypass keeps this CPU-device executable OUT of the
+        # persistent cache: through a remote-compile service it carries the
+        # service machine's CPU features, and reloading it on another host
+        # risks SIGILL (round-2 driver bench logged the mismatch warning).
+        with cpu_compile_bypass(), jax.default_device(jax.devices("cpu")[0]):
             params = self.model.init(
                 jax.random.key(0), wav, method=NomadModel.init_all
             )

@@ -14,9 +14,13 @@ see :mod:`nomad_tpu.parallel.mesh`.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.jit, static_argnames=("precision",))
 def cdist(a, b, precision=None):
     """Euclidean distance matrix between rows of a [N, D] and b [M, D].
 
@@ -39,6 +43,7 @@ def cdist(a, b, precision=None):
     return jnp.sqrt(sq)
 
 
+@jax.jit
 def cdist_diag(a, b):
     """Paired distances ||a_i - b_i|| — the reference's full-reference mode
     (np.diag(cdist(...)), `train_triplet.py:438-439`) without the O(N^2) waste."""

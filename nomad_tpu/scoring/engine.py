@@ -51,6 +51,89 @@ MAX_BATCH = 256
 PCM16_SCALE = 32768.0
 
 
+_wire_warmed = False
+
+
+def warm_wire_async() -> None:
+    """Pay the relay's one-time device->host channel setup on a background
+    thread. Round-3 measurement: the FIRST d2h readback of a process costs
+    36-267 s through the axon relay (subsequent ones are ~0.06 s), which
+    used to land inside whichever timed phase did the first readback
+    (bench prewarm, or a CLI user's first score). A 1 KB round trip kicked
+    off at engine construction overlaps that fixed cost with param
+    transfer and shape compiles. No-op on CPU backends and when already
+    warmed."""
+    global _wire_warmed
+    if _wire_warmed or jax.default_backend() != "tpu":
+        return
+    _wire_warmed = True
+
+    def go():  # pragma: no cover - timing side effect only
+        try:
+            np.asarray(jax.device_put(np.zeros(256, np.float32)))
+        except Exception:
+            pass
+
+    import threading
+
+    threading.Thread(target=go, daemon=True, name="nomad-wire-warm").start()
+
+
+class EmbeddingLRU:
+    """Bounded embedding cache for long-lived servers (dict-protocol subset
+    the engine uses). Two leak paths the plain-dict cache had (round-2
+    verdict): unbounded growth on a churning file population (~1 KB/file
+    forever), and an edited file (new mtime) keying a NEW entry while the
+    stale one lingered. This evicts least-recently-used entries beyond
+    ``maxsize`` and drops the stale entry for a path the moment its
+    replacement key is inserted."""
+
+    def __init__(self, maxsize: int = 65536):
+        from collections import OrderedDict
+
+        self.maxsize = int(maxsize)
+        self._d: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        # (abspath, trim) -> current full key, for stale-mtime eviction
+        self._by_path: dict[tuple, tuple] = {}
+        self.evictions = 0
+        self.stale_evictions = 0
+
+    @staticmethod
+    def _path_id(key: tuple) -> tuple:
+        return key[:2]  # (abspath, trim); mtime/size vary per version
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def __getitem__(self, key):
+        self._d.move_to_end(key)
+        return self._d[key]
+
+    def __setitem__(self, key, value) -> None:
+        old = self._by_path.get(self._path_id(key))
+        if old is not None and old != key and old in self._d:
+            del self._d[old]  # same file, new mtime/size: drop stale entry
+            self.stale_evictions += 1
+        self._by_path[self._path_id(key)] = key
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.maxsize:
+            victim, _ = self._d.popitem(last=False)
+            self._by_path.pop(self._path_id(victim), None)
+            self.evictions += 1
+
+    def stats(self) -> dict:
+        return {
+            "entries": len(self._d),
+            "maxsize": self.maxsize,
+            "evictions": self.evictions,
+            "stale_evictions": self.stale_evictions,
+        }
+
+
 def bucket_length(
     n: int, min_bucket: int = MIN_BUCKET, steps_per_octave: int = 4
 ) -> int:
@@ -90,13 +173,27 @@ class EmbeddingEngine:
     cache_hits: int = field(default=0, repr=False)
     # Adaptive transfer mode: the relay's concurrency benefit is weather —
     # the round-2 study measured 2-3x from 4-8 parallel streams, but some
-    # days single-stream wins outright (bench logged 44 MB/s single vs
-    # 20 MB/s parallel on one run). The first two large batches probe one
-    # mode each (timed with a blocking readback); the winner serves the
-    # rest of the engine's lifetime.
+    # days single-stream wins outright (r02 bench logged 19 MB/s single vs
+    # 12 MB/s parallel), and the weather SWINGS WITHIN one run (the r03
+    # cold bench probed single at 1.1 MB/s that measured 24 MB/s twenty
+    # seconds later). Both modes are probed on the first large batch (half
+    # the rows each, blocking on the raw transfers — see _probe_put), then
+    # RE-probed every probe_interval large batches so a stale reading
+    # can't pin the slower mode for the engine's lifetime.
+    probe_interval: int = 8
     _put_mode: Optional[str] = field(default=None, repr=False)
     _put_probes: dict = field(default_factory=dict, repr=False)
+    _probe_count: int = field(default=0, repr=False)
+    _puts_since_probe: int = field(default=0, repr=False)
+    _last_put: Optional[object] = field(default=None, repr=False)
     _jitted: dict = field(default_factory=dict, repr=False)
+    # AOT executables from prewarm: calling these directly (instead of the
+    # jit dispatch path) guarantees a prewarmed shape never compiles twice
+    # — jit dispatch cannot reuse fn.lower().compile()'s work unless the
+    # persistent cache is on AND its AOT/JIT cache keys agree, which is
+    # exactly what broke the round-2 driver bench (628 s warmup).
+    _aot: dict = field(default_factory=dict, repr=False)
+    _compiled_keys: set = field(default_factory=set, repr=False)
     _params_device: Optional[object] = field(default=None, repr=False)
     _put_pool: ThreadPoolExecutor = field(
         default_factory=lambda: ThreadPoolExecutor(max_workers=8), repr=False
@@ -106,6 +203,7 @@ class EmbeddingEngine:
         from ..utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
+        warm_wire_async()
 
     def _get_fn(self, batch: int, length: int, int16: bool = False) -> Callable:
         key = (batch, length, int16)
@@ -148,29 +246,80 @@ class EmbeddingEngine:
                 lengths.astype(np.int32), sh
             )
         if batch.nbytes >= self.parallel_put_min_bytes and batch.shape[0] > 1:
-            mode = self._put_mode
-            probing = mode is None
-            if probing:
-                # try the mode we haven't timed yet (parallel first)
-                mode = "parallel" if "parallel" not in self._put_probes \
-                    else "single"
-                t0 = time.perf_counter()
-            put = self._put_large(batch, mode)
-            if probing:
-                # blocking readback: device_put is async, only a readback
-                # bounds the wire time. Costs one sync on each of the two
-                # probe batches, then the winner runs un-synced.
-                np.asarray(put[:1, :1])
-                self._put_probes[mode] = batch.nbytes / (
-                    time.perf_counter() - t0
-                )
-                if len(self._put_probes) == 2:
-                    self._put_mode = max(
-                        self._put_probes, key=self._put_probes.get
-                    )
+            if self._put_mode is None or (
+                self._puts_since_probe >= self.probe_interval
+            ):
+                put = self._probe_put(batch)
+            else:
+                put = self._put_large(batch, self._put_mode)
+                self._puts_since_probe += 1
         else:
             put = jax.device_put(batch, self.device)
+        self._last_put = put
         return put, jax.device_put(lengths.astype(np.int32), self.device)
+
+    def _probe_put(self, batch: np.ndarray):
+        """Unbiased transfer-mode probe (round-2 advisor finding: timing
+        the two modes on *consecutive* batches let the second probe's
+        readback queue behind the first batch's forward pass, so the
+        first-probed mode always won). Both modes run on THIS batch — half
+        the rows each — bounded by block_until_ready on the raw device_put
+        results (no enqueued slice program to queue behind compute), after
+        draining any in-flight previous transfer so neither half absorbs
+        queueing time. The half order alternates between probes so
+        relay slow-start penalizes each mode equally over time."""
+        h = batch.shape[0] // 2
+        if h < 2 or batch.nbytes < 2 * self.parallel_put_min_bytes:
+            # too small to time both halves meaningfully; defer the probe
+            return self._put_large(batch, self._put_mode or "parallel")
+        if self._last_put is not None:
+            try:
+                self._last_put.block_until_ready()
+            except Exception:  # pragma: no cover - already-deleted buffer
+                pass
+        dev = self.device
+        halves = [batch[:h], batch[h:]]
+        order = ("single", "parallel") if self._probe_count % 2 == 0 \
+            else ("parallel", "single")
+        ewma = 0.5  # newest reading carries half the weight
+        parts_by_mode = {}
+        for mode, half in zip(order, halves):
+            if mode == "single":
+                t0 = time.perf_counter()
+                put = jax.device_put(half, dev)
+                put.block_until_ready()
+                parts_by_mode[mode] = [put]
+            else:
+                n = min(8, half.shape[0],
+                        max(2, half.nbytes // (1536 * 1024)))
+                rows = np.array_split(half, n, axis=0)
+                t0 = time.perf_counter()
+                parts = list(self._put_pool.map(
+                    lambda r: jax.device_put(r, dev), rows
+                ))
+                for p in parts:
+                    p.block_until_ready()
+                parts_by_mode[mode] = parts
+            rate = half.nbytes / max(time.perf_counter() - t0, 1e-9)
+            old = self._put_probes.get(mode)
+            self._put_probes[mode] = rate if old is None else (
+                ewma * rate + (1.0 - ewma) * old
+            )
+        self._put_mode = max(self._put_probes, key=self._put_probes.get)
+        self._probe_count += 1
+        self._puts_since_probe = 0
+        ordered = parts_by_mode[order[0]] + parts_by_mode[order[1]]
+        return jnp.concatenate(ordered, axis=0)
+
+    def transfer_stats(self) -> dict:
+        """Chosen host->device mode + measured probe rates (MB/s, EWMA)."""
+        return {
+            "mode": self._put_mode,
+            "probe_count": self._probe_count,
+            "probes_MBps": {
+                k: round(v / 1e6, 1) for k, v in self._put_probes.items()
+            },
+        }
 
     def _put_large(self, batch: np.ndarray, mode: str):
         if mode == "parallel":
@@ -226,28 +375,59 @@ class EmbeddingEngine:
             else:
                 # ~380 MB of BASE params: ship the leaves over parallel
                 # streams (the relay/PCIe sustains ~2-3x the single-stream
-                # rate), cutting cold-start by tens of seconds
+                # rate), cutting cold-start by tens of seconds. The two
+                # 113 MB scan-stacked encoder leaves are chunked so they
+                # spread across streams instead of serializing one stream
+                # while the rest sit idle. Already-on-device leaves pass
+                # through untouched (device_put is a no-op for them).
                 leaves, treedef = jax.tree_util.tree_flatten(self.params)
                 dev = self.device
-                put = list(self._put_pool.map(
-                    lambda x: jax.device_put(x, dev), leaves
+                chunk_bytes = 16 << 20
+                pieces: list = []  # flat (leaf_idx, array) jobs
+                n_parts = []
+                for i, x in enumerate(leaves):
+                    if isinstance(x, jax.Array) or (
+                        np.asarray(x).nbytes <= chunk_bytes
+                    ):
+                        n_parts.append(1)
+                        pieces.append(x)
+                    else:
+                        arr = np.asarray(x)
+                        n = min(8, max(2, arr.nbytes // chunk_bytes))
+                        n_parts.append(n)
+                        pieces.extend(np.array_split(arr, n, axis=0))
+                done = list(self._put_pool.map(
+                    lambda x: jax.device_put(x, dev), pieces
                 ))
+                put, pos = [], 0
+                for n in n_parts:
+                    if n == 1:
+                        put.append(done[pos])
+                    else:
+                        put.append(jnp.concatenate(done[pos : pos + n], axis=0))
+                    pos += n
                 self._params_device = jax.tree_util.tree_unflatten(treedef, put)
         return self._params_device
 
-    def _prewarm_keys(self, keys, min_keys: int = 2) -> None:
-        """Compile several (batch, length, int16) shapes concurrently.
+    def _prewarm_keys(self, keys) -> None:
+        """Compile (batch, length, int16) shapes concurrently and KEEP the
+        AOT executables.
 
         The remote compile service overlaps compiles almost perfectly
         (measured: 3 fresh BASE shapes in 22.6 s vs 44.8 s for 2 run
         sequentially), so warming k shapes costs ~the slowest one.
         Compilation needs only avals, not values — fn.lower(shape_structs)
-        .compile() fills the persistent cache while the ~380 MB param
-        transfer streams in parallel; the first real call then loads the
-        executable from disk in ~1 s instead of recompiling."""
-        keys = [k for k in keys if k not in self._jitted]
-        if len(keys) < min_keys:
-            # a lone new shape compiles at first use anyway
+        .compile() runs while the ~380 MB param transfer streams in
+        parallel. The resulting Compiled objects are retained in _aot and
+        dispatched directly: jit's own dispatch cache cannot reuse AOT
+        work, and routing the reuse through the persistent disk cache
+        (round 2) silently double-compiled every shape on the driver when
+        the AOT and JIT cache keys disagreed."""
+        keys = [
+            k for k in keys
+            if k not in self._aot and k not in self._compiled_keys
+        ]
+        if not keys:
             return
         p_aval = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
@@ -262,25 +442,66 @@ class EmbeddingEngine:
                 (bsz, blen), jnp.int16 if i16 else jnp.float32
             )
             l = jax.ShapeDtypeStruct((bsz,), jnp.int32)
-            fn.lower(p_aval, w, l).compile()
+            self._aot[key] = fn.lower(p_aval, w, l).compile()
+            self._compiled_keys.add(key)
 
         with ThreadPoolExecutor(max_workers=min(4, len(keys))) as ex:
             list(ex.map(warm, keys))
 
-    def prewarm(self, durations=(10.0,), int16: bool = True,
+    def _dispatch(self, key: tuple, params, wave_dev, len_dev):
+        """Run one padded batch through the retained AOT executable when
+        one exists for this shape, else through jit dispatch (identical
+        program; AOT merely skips recompilation)."""
+        aot = self._aot.get(key)
+        if aot is not None:
+            try:
+                return aot(params, wave_dev, len_dev)
+            except (TypeError, ValueError):
+                # aval/device mismatch (e.g. explicit device override that
+                # differs from the default the AOT lowering assumed): fall
+                # back to jit for this and future calls of the shape
+                self._aot.pop(key, None)
+        out = self._get_fn(*key)(params, wave_dev, len_dev)
+        self._compiled_keys.add(key)
+        return out
+
+    def _chunk_batches(self, n_items: int, blen: int) -> list:
+        """Padded batch sizes a bucket of n_items files will run as: full
+        steady-state batches, then one right-sized tail. Shared by the
+        embed paths and prewarm so the prewarmed shape set is exactly the
+        executed one (the round-2 bench cold-compiled its 32-row tail
+        inside the timed warmup because prewarm missed it)."""
+        full = self.batch_size_for(blen)
+        sizes = []
+        left = n_items
+        while left > 0:
+            b = min(self.batch_size_for(blen, remaining=left), full)
+            sizes.append(b)
+            left -= min(b, left)
+        return sizes
+
+    def prewarm(self, durations=(10.0,), counts=None, int16: bool = True,
                 single: bool = True) -> None:
         """Pre-compile the bucket shapes for the given file durations:
         the full steady-state batch per bucket, plus (optionally) the
-        batch-1 shape single-file requests hit. All compiles run
-        concurrently (see _prewarm_keys)."""
+        batch-1 shape single-file requests hit. When ``counts`` gives the
+        planned number of files per duration, every batch shape of that
+        run — including the tail — is compiled, so the first real pass
+        compiles nothing. All compiles run concurrently (see
+        _prewarm_keys)."""
         keys = []
-        for sec in durations:
+        for j, sec in enumerate(durations):
             blen = bucket_length(int(sec * 16000))
-            keys.append((self.batch_size_for(blen), blen, int16))
+            n = counts[j] if counts is not None else None
+            if n:
+                for bsz in dict.fromkeys(self._chunk_batches(n, blen)):
+                    keys.append((bsz, blen, int16))
+            else:
+                keys.append((self.batch_size_for(blen), blen, int16))
             if single:
                 keys.append((self.batch_size_for(blen, remaining=1), blen, int16))
         params_future = self._params_async()  # overlap transfer with compiles
-        self._prewarm_keys(dict.fromkeys(keys), min_keys=1)
+        self._prewarm_keys(dict.fromkeys(keys))
         params_future.result()
 
     def _attn_batch_cap(self, length: int) -> int:
@@ -335,12 +556,21 @@ class EmbeddingEngine:
                 # right-size the tail batch to the next multiple of the mesh
                 b = max(n, ((remaining + n - 1) // n) * n)
         else:
-            # powers of two limit distinct compiled shapes
-            b = 1 << int(math.floor(math.log2(b)))
+            # snap down to a multiple of 32 (powers of two below that):
+            # bounded distinct-shape count, but admits the measured-optimal
+            # B=96 steady batch for 10 s buckets that a pure power-of-two
+            # floor rejected (64 ran 5% slower; round-2 advisor finding)
+            if b >= 32:
+                b = (b // 32) * 32
+            else:
+                b = 1 << int(math.floor(math.log2(b)))
             if remaining is not None and remaining < b:
-                # tail batch: smallest power of two covering the remainder
-                # (avoids embedding 32 rows to score 2 files)
-                b = 1 << max(0, (remaining - 1)).bit_length()
+                # tail batch: smallest grid size covering the remainder
+                # (avoids embedding 96 rows to score 2 files)
+                if remaining > 32:
+                    b = ((remaining + 31) // 32) * 32
+                else:
+                    b = 1 << max(0, (remaining - 1)).bit_length()
         return b
 
     def embed_waves(
@@ -382,13 +612,11 @@ class EmbeddingEngine:
         # load->transfer->compute, `nomad.py:172-183`).
         chunks: list[tuple[list[int], int, int]] = []  # (indices, bsz, blen)
         for blen, idxs in iterator:
-            full_bsz = self.batch_size_for(blen)
             start = 0
-            while start < len(idxs):
-                bsz = self.batch_size_for(blen, remaining=len(idxs) - start)
-                bsz = min(bsz, full_bsz)
-                chunks.append((idxs[start : start + bsz], bsz, blen))
-                start += bsz
+            for bsz in self._chunk_batches(len(idxs), blen):
+                take = min(bsz, len(idxs) - start)
+                chunks.append((idxs[start : start + take], bsz, blen))
+                start += take
 
         # Exact int16-ness per wave (int16 dtype, or f32 on the PCM16
         # grid — one memcpy-speed pass, threaded). Shared by the shape
@@ -433,10 +661,11 @@ class EmbeddingEngine:
             for (chunk, bsz, blen), (batch, lengths, is_int16) in zip(
                 chunks, ex.map(assemble, chunks)
             ):
-                fn = self._get_fn(bsz, blen, is_int16)
+                key = (bsz, blen, is_int16)
                 with timed("engine.submit", items=len(chunk), nbytes=batch.nbytes):
                     pending.append(
-                        (chunk, fn(params, *self._put(batch, lengths)))
+                        (chunk,
+                         self._dispatch(key, params, *self._put(batch, lengths)))
                     )
 
         for chunk, emb_dev in pending:
@@ -549,28 +778,18 @@ class EmbeddingEngine:
         plan_keys = []
         for (blen, sr, i16), idxs in sorted(groups.items()):
             pred_i16 = i16 or self.quantize_transfer
-            full_bsz = self.batch_size_for(blen)
-            start = 0
-            while start < len(idxs):
-                bsz = min(
-                    self.batch_size_for(blen, remaining=len(idxs) - start),
-                    full_bsz,
-                )
+            for bsz in self._chunk_batches(len(idxs), blen):
                 plan_keys.append((bsz, blen, pred_i16))
-                start += bsz
         self._prewarm_keys(dict.fromkeys(plan_keys))
         params = params_future.result()
 
         out: dict[int, np.ndarray] = {}
         pending = []
         for (blen, sr, i16), idxs in sorted(groups.items()):
-            full_bsz = self.batch_size_for(blen)
             start = 0
-            while start < len(idxs):
-                bsz = self.batch_size_for(blen, remaining=len(idxs) - start)
-                bsz = min(bsz, full_bsz)
-                chunk = idxs[start : start + bsz]
-                start += bsz
+            for bsz in self._chunk_batches(len(idxs), blen):
+                chunk = idxs[start : start + min(bsz, len(idxs) - start)]
+                start += len(chunk)
                 with timed("engine.native_ingest", items=len(chunk)):
                     if i16:
                         res = native.native_load_batch_i16(
@@ -617,8 +836,11 @@ class EmbeddingEngine:
                     is_int16 = True
                 else:
                     batch, is_int16 = self._maybe_int16(batch)
-                fn = self._get_fn(bsz, blen, is_int16)
-                pending.append((chunk, fn(params, *self._put(batch, lengths))))
+                pending.append((
+                    chunk,
+                    self._dispatch((bsz, blen, is_int16), params,
+                                   *self._put(batch, lengths)),
+                ))
 
         for chunk, emb_dev in pending:
             emb = np.asarray(emb_dev)

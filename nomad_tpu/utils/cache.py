@@ -6,28 +6,72 @@ The BASE backbone takes tens of seconds to minutes to compile per shape
 Enabling JAX's persistent compilation cache makes the second process-run of
 any entry point warm-start from disk.
 
+Cache location (first hit wins):
+  1. ``NOMAD_TPU_CACHE_DIR`` env var
+  2. ``<repo>/.nomad_tpu_cache/xla_cache`` — workspace-local, so consecutive
+     runs in the same checkout warm-start even when ``~/.cache`` does not
+     survive between runs (round-2 lesson: the driver environment keeps the
+     workspace but not the home cache, so every driver run cold-compiled)
+  3. ``~/.cache/nomad_tpu/xla_cache`` when the workspace is not writable
+     (e.g. installed into site-packages)
+
 Call :func:`enable_compilation_cache` before the first jit execution (the
-API/CLI/bench/serve entry points all do). Set ``NOMAD_TPU_CACHE_DIR`` to
-relocate the cache, or ``NOMAD_TPU_CACHE=0`` to disable.
+API/CLI/bench/serve entry points all do). Set ``NOMAD_TPU_CACHE=0`` to
+disable.
+
+CPU-compile poisoning: a TPU-backed process still makes CPU-*device*
+compiles (host-side random init under ``jax.default_device(cpu)``). Through
+a remote-compile service those executables are compiled for the *service*
+machine's CPU features; re-loading them from the persistent cache on a
+different host risks SIGILL (round-2 bench logged the full XLA
+feature-mismatch warning). Wrap such host-side compiles in
+:func:`cpu_compile_bypass` so they never touch the persistent cache.
 """
 
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
-_DEFAULT_DIR = os.path.join(
+_HOME_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "nomad_tpu", "xla_cache"
 )
 _enabled = False
 
 
+def _workspace_dir() -> str:
+    """Repo-local cache dir (…/repo/.nomad_tpu_cache/xla_cache) derived
+    from the package location; gitignored."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    return os.path.join(pkg_root, ".nomad_tpu_cache", "xla_cache")
+
+
+def default_cache_dir() -> str:
+    env = os.environ.get("NOMAD_TPU_CACHE_DIR")
+    if env:
+        return env
+    ws = _workspace_dir()
+    try:
+        os.makedirs(ws, exist_ok=True)
+        probe = os.path.join(ws, ".w")
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+        return ws
+    except OSError:
+        return _HOME_DIR
+
+
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """Idempotently turn on the persistent compilation cache; returns the
-    cache directory (None when disabled via NOMAD_TPU_CACHE=0)."""
+    cache directory (None when disabled via NOMAD_TPU_CACHE=0 or on a
+    CPU-only backend)."""
     global _enabled
     if os.environ.get("NOMAD_TPU_CACHE", "1") == "0":
         return None
-    cache_dir = cache_dir or os.environ.get("NOMAD_TPU_CACHE_DIR", _DEFAULT_DIR)
+    cache_dir = cache_dir or default_cache_dir()
     if _enabled:
         return cache_dir
     import jax
@@ -47,3 +91,26 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _enabled = True
     return cache_dir
+
+
+@contextmanager
+def cpu_compile_bypass():
+    """Disable the persistent compilation cache for the duration of a
+    host-side (CPU-device) compile inside a TPU-backed process.
+
+    Not thread-safe w.r.t. concurrent TPU compiles: the config flag is
+    process-global, so concurrent prewarm compiles on another thread would
+    also skip the cache while the context is open. All call sites (param
+    init in api/bench/scripts) run before any engine prewarm starts.
+    """
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    if prev is None:
+        yield
+        return
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -257,3 +257,108 @@ def test_predict_default_results_layout(tiny_setup, tmp_path, rng, monkeypatch):
     assert re.fullmatch(r"\d{2}-\d{2}-\d{4}_\d{2}-\d{2}-\d{2}", ts_dir.name)
     names = sorted(p.name for p in ts_dir.iterdir())
     assert names == [f"{ts_dir.name}_nomad_avg.csv", f"{ts_dir.name}_nomad_scores.csv"]
+
+
+def test_batch_size_snapping():
+    """batch_size_for snaps to multiples of 32 (powers of two below 32):
+    the 96x10s sample budget really yields B=96 — the measured optimum the
+    old power-of-two floor rejected (round-2 advisor finding)."""
+    model = NomadModel(Wav2Vec2Config.base(), emb_dim=256)
+    e = EmbeddingEngine(model, params={})
+    blen = bucket_length(160_000)  # 10 s
+    assert e.batch_size_for(blen) == 96
+    # tails: next 32-multiple above the remainder (pow2 at/below 32)
+    assert e.batch_size_for(blen, remaining=40) == 64
+    assert e.batch_size_for(blen, remaining=33) == 64
+    assert e.batch_size_for(blen, remaining=32) == 32
+    assert e.batch_size_for(blen, remaining=20) == 32
+    assert e.batch_size_for(blen, remaining=3) == 4
+    assert e.batch_size_for(blen, remaining=1) == 1
+
+
+def test_chunk_batches_tile_plan():
+    """_chunk_batches is the single source of truth for the shapes a run
+    executes: 288 10-s files tile as 3 full B=96 batches (no tail), and the
+    plan for any count matches what embed_waves actually runs."""
+    model = NomadModel(Wav2Vec2Config.base(), emb_dim=256)
+    e = EmbeddingEngine(model, params={})
+    blen = bucket_length(160_000)
+    assert e._chunk_batches(288, blen) == [96, 96, 96]
+    assert e._chunk_batches(100, blen) == [96, 4]
+    assert e._chunk_batches(97, blen) == [96, 1]
+    assert sum(min(b, 1) for b in e._chunk_batches(1, blen)) == 1
+
+
+def test_prewarm_counts_covers_every_executed_shape(tiny_setup, rng):
+    """prewarm(durations, counts=...) compiles the full-batch AND tail
+    shapes as AOT executables; the subsequent embed_waves dispatches every
+    batch through them (no jit compile inside the timed region)."""
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(model, params)
+    n = 5
+    engine.prewarm((0.25,), counts=(n,), int16=False, single=False)
+    assert len(engine._aot) >= 1
+    planned = set(engine._aot)
+    waves = [
+        (0.1 * rng.standard_normal(int(0.25 * 16000))).astype(np.float32)
+        for _ in range(n)
+    ]
+    emb = engine.embed_waves(waves)
+    assert emb.shape == (n, 16)
+    # every executed shape had an AOT executable waiting for it
+    blen = bucket_length(int(0.25 * 16000))
+    for bsz in engine._chunk_batches(n, blen):
+        assert (bsz, blen, False) in planned
+
+
+def test_aot_dispatch_matches_jit(tiny_setup, rng):
+    """Embeddings produced through the retained AOT executables are
+    identical to the plain jit path."""
+    cfg, _oracle, model, params = tiny_setup
+    waves = [
+        (0.1 * rng.standard_normal(4000 + 700 * i)).astype(np.float32)
+        for i in range(3)
+    ]
+    cold = EmbeddingEngine(model, params)
+    ref = cold.embed_waves(waves)
+    warm = EmbeddingEngine(model, params)
+    warm.prewarm((0.25,), counts=(3,), int16=False)
+    out = warm.embed_waves(waves)
+    np.testing.assert_array_equal(ref, out)
+
+
+def test_transfer_probe_both_modes_same_batch(tiny_setup, rng):
+    """The adaptive h2d probe times single-stream and parallel on the SAME
+    (first) large batch — half the rows each, blocking on the raw
+    transfers — so neither probe absorbs another batch's compute (round-2
+    advisor: consecutive-batch probing biased the result)."""
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(model, params, parallel_put_min_bytes=1024)
+    waves = [
+        (0.1 * rng.standard_normal(4000)).astype(np.float32) for _ in range(8)
+    ]
+    engine.embed_waves(waves)
+    stats = engine.transfer_stats()
+    assert stats["mode"] in ("single", "parallel")
+    assert set(stats["probes_MBps"]) == {"single", "parallel"}
+    assert all(v > 0 for v in stats["probes_MBps"].values())
+
+
+def test_transfer_mode_reprobes_periodically(tiny_setup, rng):
+    """A stale probe reading must not pin the slower mode forever: every
+    probe_interval large batches both modes are re-timed (EWMA-merged) and
+    the winner re-chosen (the r03 cold bench locked 'parallel' from a
+    1.1 MB/s fluke reading while single-stream sustained 24 MB/s)."""
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(
+        model, params, parallel_put_min_bytes=1024, probe_interval=2
+    )
+    waves = [
+        (0.1 * rng.standard_normal(4000)).astype(np.float32)
+        for _ in range(8)
+    ]
+    for _ in range(4):  # 4 large batches with interval 2 -> >= 2 probes
+        engine.embed_waves(waves)
+    stats = engine.transfer_stats()
+    assert stats["probe_count"] >= 2
+    assert set(stats["probes_MBps"]) == {"single", "parallel"}
