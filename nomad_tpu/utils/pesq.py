@@ -7,20 +7,43 @@ and its golden results are PESQ-WB numbers. The ``pesq`` C extension is not
 installable in this environment, so this module provides the full P.862
 pipeline natively:
 
-    level align -> 100 Hz input filter -> envelope + fine time alignment ->
-    Hann STFT -> Bark-band pitch powers -> frequency (partial) and gain
-    compensation -> Zwicker loudness -> masked symmetric + asymmetric
-    disturbance -> L6/L2 time aggregation -> raw score -> P.862.2 MOS-LQO
-    logistic map.
+    level align -> 100 Hz input filter -> time alignment -> Hann STFT ->
+    Bark-band pitch powers -> partial frequency compensation -> short-term
+    gain compensation -> Zwicker loudness -> masked symmetric + asymmetric
+    disturbance -> L2/L6/L2 aggregation -> raw score -> P.862.2 MOS-LQO map.
 
-Fidelity note (documented divergence, PARITY.md): the official P.862 C
-implementation's band tables and calibration constants are not reproduced
-bit-exactly here (and cannot be verified offline — no pesq wheel, no
-network). Structure, exponents, masking/asymmetry rules, aggregation norms
-and the wideband output map follow the standard; absolute calibration was
-tuned on synthetic conditions to land in the published operating ranges
-(identical -> 4.64, heavy noise -> ~1). Treat scores as PESQ-compatible,
-not PESQ-bit-exact.
+Calibration follows the standard's own internal unit system rather than the
+round-2 self-tuned constants:
+
+  * both signals are globally scaled so their 325-3250 Hz band power equals
+    ``TARGET_AVG_POWER = 1e7`` (P.862 §10.1.2, ``fix_power_level`` in the
+    Annex A reference code) with 16-bit PCM sample units;
+  * the standard presents speech at an assumed listening level of
+    **79 dB SPL** (P.862 §10.1.2), which pins the SPL <-> internal-power
+    conversion used for the absolute hearing threshold;
+  * loudness is Zwicker's law with exponent **0.23** and the reference
+    parameter set's scaling ``Sl = 1.866055e-1`` (P.862 Annex A,
+    pesqpar.h) — the power-density scale Sp is absorbed by computing the
+    SPL anchor through the same STFT path (see ``_POWER_PER_MS``);
+  * masking factor 0.25, asymmetry ``((deg+50)/(ref+50))^1.2`` zeroed
+    below 3 and capped at 12, frame-disturbance cap 45, split-second
+    length 20 frames, and the final ``4.5 - 0.1*D - 0.0309*DA`` raw score
+    are the standard's values (P.862 §10.2.5-§10.2.8);
+  * the wideband output map is P.862.2's published logistic
+    ``0.999 + 4/(1 + exp(-1.3669*x + 3.8224))``.
+
+Documented divergences (PARITY.md; bit-exactness vs the ITU C code is
+unverifiable offline — no pesq wheel, no network):
+
+  * the 49-entry wideband band tables (centre/width/correction/threshold)
+    are REGENERATED from the published formulas — Zwicker-Terhardt bark
+    transform ``z = 13*atan(0.00076 f) + 3.5*atan((f/7500)^2)`` with 49
+    uniform-in-bark bands, Terhardt's threshold-in-quiet approximation,
+    correction factors 1.0 — instead of copied digit-for-digit from
+    pesqpar.h;
+  * time alignment is a single global FFT cross-correlation instead of
+    §8's utterance-splitting alignment (the SE demo compares time-aligned
+    signals; variable-delay inputs would score slightly differently).
 """
 
 from __future__ import annotations
@@ -30,59 +53,74 @@ import math
 import numpy as np
 
 SR = 16000
-NFFT = 512
+NFFT = 512  # 32 ms frames at 16 kHz (P.862 §10.2.2), 50% overlap
 HOP = 256
-NB = 49  # Bark bands for wideband mode
-F_LO = 100.0  # wideband input high-pass / first band edge
-F_HI = 8000.0
+NB = 49  # wideband Bark band count (P.862 Annex A, 16 kHz tables)
 
-# P.862 model constants
-MASK_FACTOR = 0.25  # fraction of min loudness masked away
-ASYM_CONST = 50.0
+PCM_SCALE = 32768.0  # float [-1,1] -> 16-bit PCM units the standard assumes
+TARGET_AVG_POWER = 1e7  # level alignment target (P.862 §10.1.2)
+LISTENING_LEVEL_DB_SPL = 79.0  # assumed presentation level (P.862 §10.1.2)
+
+# --- P.862 model constants (Annex A reference parameter set) ---
+SL = 1.866055e-1  # Zwicker loudness scaling Sl (pesqpar.h)
+ZWICKER_POWER = 0.23  # loudness-law exponent (P.862 §10.2.7)
+MASK_FACTOR = 0.25  # fraction of min loudness masked away (§10.2.8)
+ASYM_CONST = 50.0  # asymmetry stabilizer, pitch-power units (§10.2.8)
 ASYM_POW = 1.2
 ASYM_ZERO_BELOW = 3.0
 ASYM_CAP = 12.0
-FRAME_D_CAP = 45.0
-PSQM_INTERVAL = 20  # frames per split-second interval
-P_FRAME = 6.0  # Lp within interval
-P_INTERVAL = 2.0  # Lp across intervals
-RAW_SYM_W = 0.1
+FRAME_D_CAP = 45.0  # per-frame disturbance cap (§10.2.8)
+FREQ_COMP_STAB = 1000.0  # partial freq-compensation stabilizer (§10.2.5)
+FREQ_COMP_BOUND = 100.0  # +-20 dB clip on the compensation factor
+GAIN_COMP_STAB = 5e3  # short-term gain stabilizer (§10.2.6)
+GAIN_COMP_MIN = 3e-4
+GAIN_COMP_MAX = 5.0
+GAIN_SMOOTH = 0.2  # first-order smoothing step of the frame gain
+AUDIBLE_STAB = 1e5  # frame-weight stabilizer (§10.2.8)
+PSQM_INTERVAL = 20  # frames per split-second interval (§10.2.8)
+D_POW_F, D_POW_S, D_POW_T = 2.0, 6.0, 2.0  # symmetric Lp chain
+A_POW_F, A_POW_S, A_POW_T = 1.0, 6.0, 2.0  # asymmetric Lp chain
+RAW_SYM_W = 0.1  # raw score = 4.5 - 0.1*D - 0.0309*DA (§10.2.8)
 RAW_ASYM_W = 0.0309
-
-# calibration (see module docstring): active-speech RMS target after level
-# alignment, and the SPL offset mapping unit amplitude to dB SPL
-TARGET_RMS = 0.05
-SPL_AT_UNIT = 90.0
-# Zwicker Sl, tuned on synthetic conditions (scripts in
-# tests/test_pesq.py): white noise at SNR 30/20/10/0 dB scores
-# ~4.3/2.7/1.7/1.3, matching published PESQ-WB operating ranges
-LOUDNESS_SCALE = 0.3
 
 
 def _bark(f):
-    return 7.0 * np.arcsinh(np.asarray(f, np.float64) / 650.0)
-
-
-def _inv_bark(z):
-    return 650.0 * np.sinh(np.asarray(z, np.float64) / 7.0)
+    """Zwicker-Terhardt critical-band rate (Bark) transform."""
+    f = np.asarray(f, np.float64)
+    return 13.0 * np.arctan(7.6e-4 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
 
 
 def _band_layout():
-    """49 equal-Bark bands spanning 100..8000 Hz: (lo, hi, center) in Hz."""
-    z = np.linspace(_bark(F_LO), _bark(F_HI), NB + 1)
-    lo = _inv_bark(z[:-1])
-    hi = _inv_bark(z[1:])
-    fc = _inv_bark(0.5 * (z[:-1] + z[1:]))
-    return lo, hi, fc
+    """NB uniform-in-bark bands spanning 50 Hz..8 kHz: rfft-bin slices,
+    centers (Hz) and widths (bark). Regenerated tables — see module
+    docstring."""
+    freqs = np.fft.rfftfreq(NFFT, 1.0 / SR)
+    z_edges = np.linspace(_bark(50.0), _bark(SR / 2), NB + 1)
+    zf = _bark(freqs)
+    # band of each bin; bins below the first edge are excluded (the 100 Hz
+    # input high-pass empties them anyway)
+    idx = np.clip(np.searchsorted(z_edges, zf, side="right") - 1, -1, NB - 1)
+    idx[zf < z_edges[0]] = -1
+    centers = np.empty(NB)
+    for b in range(NB):
+        sel = np.flatnonzero(idx == b)
+        if len(sel):
+            centers[b] = freqs[sel].mean()
+        else:  # empty low band: nearest bin center (cannot happen for
+            # NFFT=512 — bin spacing 31.25 Hz < narrowest band ~43 Hz)
+            centers[b] = freqs[np.argmin(np.abs(zf - 0.5 * (
+                z_edges[b] + z_edges[b + 1])))]
+    widths = np.diff(z_edges)
+    return idx, centers, widths
 
 
-_LO, _HI, _FC = _band_layout()
-_BAND_WIDTH_BARK = (_bark(F_HI) - _bark(F_LO)) / NB
+_BIN_BAND, _FC, _WIDTH_BARK = _band_layout()
 
 
 def _abs_threshold_db(f):
-    """Threshold in quiet (dB SPL), Terhardt's approximation."""
-    khz = np.asarray(f, np.float64) / 1000.0
+    """Threshold in quiet (dB SPL), Terhardt's approximation (the curve
+    the P.862 table digitizes)."""
+    khz = np.maximum(np.asarray(f, np.float64), 20.0) / 1000.0
     return (
         3.64 * khz**-0.8
         - 6.5 * np.exp(-0.6 * (khz - 3.3) ** 2)
@@ -90,30 +128,77 @@ def _abs_threshold_db(f):
     )
 
 
-# per-band absolute threshold as *power* in the internal unit system:
-# amplitude-1 sine == SPL_AT_UNIT dB SPL == power 0.5
-_TQ_POWER = 0.5 * 10.0 ** ((_abs_threshold_db(_FC) - SPL_AT_UNIT) / 10.0)
+def _hann():
+    n = np.arange(NFFT)
+    return 0.5 * (1.0 - np.cos(2.0 * np.pi * n / NFFT))
+
+
+_WINDOW = _hann()
+
+
+def _frame_powers(x):
+    """[T, NFFT//2+1] per-frame rfft bin powers (|X|^2, unnormalized DFT as
+    in the Annex A code)."""
+    n_frames = 1 + max(0, (len(x) - NFFT)) // HOP
+    idx = np.arange(NFFT)[None, :] + HOP * np.arange(n_frames)[:, None]
+    frames = x[idx] * _WINDOW
+    spec = np.fft.rfft(frames, axis=1)
+    return np.abs(spec) ** 2
+
+
+def _bark_powers(x):
+    """[T, NB] pitch power densities: per-band sums of bin powers
+    (correction factors 1.0 — regenerated tables)."""
+    psd = _frame_powers(x)
+    bands = np.zeros((psd.shape[0], NB))
+    valid = _BIN_BAND >= 0
+    np.add.at(bands.T, _BIN_BAND[valid], psd[:, valid].T)
+    return bands
+
+
+def _ms_to_pitch_power() -> float:
+    """Pitch-power units produced by a tone of unit time-domain mean-square
+    power, computed through the exact STFT path above. This anchors the
+    SPL <-> pitch-power conversion, playing the role of the reference
+    code's Sp/abs_thresh_power co-calibration: a tone at L dB SPL has
+    time power TARGET_AVG_POWER * 10^((L - 79)/10) (79 dB SPL == the
+    aligned level, P.862 §10.1.2), hence pitch power _POWER_PER_MS times
+    that."""
+    t = np.arange(SR) / SR
+    tone = math.sqrt(2.0) * np.sin(2 * np.pi * 997.0 * t)  # ms power 1.0
+    return float(np.mean(np.sum(_bark_powers(tone), axis=1)))
+
+
+_POWER_PER_MS = _ms_to_pitch_power()
+
+# per-band absolute threshold in pitch-power units:
+#   Tq_power(b) = P(ms of a just-audible tone at fc_b)
+#   ms(L dB SPL) = TARGET_AVG_POWER * 10^((L-79)/10)
+_TQ_POWER = (
+    _POWER_PER_MS
+    * TARGET_AVG_POWER
+    * 10.0 ** ((_abs_threshold_db(_FC) - LISTENING_LEVEL_DB_SPL) / 10.0)
+)
 
 
 def _highpass_100(x):
+    """Wideband input filter: P.862.2 replaces the IRS receive filter with
+    a flat response above ~100 Hz."""
     from scipy.signal import butter, sosfilt
 
-    sos = butter(4, F_LO / (SR / 2), btype="high", output="sos")
+    sos = butter(4, 100.0 / (SR / 2), btype="high", output="sos")
     return sosfilt(sos, x.astype(np.float64))
 
 
-def _active_rms(x, frame=256, thresh_ratio=1e-3):
-    """RMS over frames whose energy is within 30 dB of the loudest frame
-    (simple P.56-style activity gate)."""
-    n = (len(x) // frame) * frame
-    if n == 0:
-        return float(np.sqrt(np.mean(x**2) + 1e-20))
-    e = np.mean(x[:n].reshape(-1, frame) ** 2, axis=1)
-    gate = np.max(e) * thresh_ratio
-    act = e[e > gate]
-    if len(act) == 0:
-        return float(np.sqrt(np.mean(x**2) + 1e-20))
-    return float(np.sqrt(np.mean(act)))
+def _band_power_325_3250(x) -> float:
+    """Mean-square power restricted to 325-3250 Hz (the level-alignment
+    band of P.862 §10.1.2), via a zero-phase FFT mask."""
+    n = len(x)
+    spec = np.fft.rfft(x)
+    freqs = np.fft.rfftfreq(n, 1.0 / SR)
+    spec[(freqs < 325.0) | (freqs > 3250.0)] = 0.0
+    y = np.fft.irfft(spec, n)
+    return float(np.mean(y**2) + 1e-20)
 
 
 def _align(ref, deg, max_delay=SR // 2):
@@ -134,36 +219,23 @@ def _align(ref, deg, max_delay=SR // 2):
     return int(lags[int(np.argmax(vals))])
 
 
-def _bark_powers(x):
-    """[T, NB] per-frame Bark-band powers (Hann STFT, 50% overlap)."""
-    n_frames = 1 + max(0, (len(x) - NFFT)) // HOP
-    w = np.hanning(NFFT)
-    wnorm = np.sum(w**2)
-    idx = np.arange(NFFT)[None, :] + HOP * np.arange(n_frames)[:, None]
-    frames = x[idx] * w
-    spec = np.fft.rfft(frames, axis=1)
-    psd = (np.abs(spec) ** 2) / wnorm  # power per bin
-    freqs = np.fft.rfftfreq(NFFT, 1.0 / SR)
-    bands = np.zeros((n_frames, NB))
-    for b in range(NB):
-        sel = (freqs >= _LO[b]) & (freqs < _HI[b])
-        if not np.any(sel):  # narrow low band: take the nearest bin
-            sel = np.argmin(np.abs(freqs - _FC[b]))
-            bands[:, b] = psd[:, sel]
-        else:
-            bands[:, b] = np.sum(psd[:, sel], axis=1)
-    return bands
-
-
 def _loudness(bands):
-    """Zwicker intensity->loudness per band: S = Sl*((0.5 + 0.5*P/Tq)^0.23
-    - 1), 0 below threshold. (P.862's extra (Tq/0.5)^0.23 prefactor assumes
-    the ITU internal power calibration; in this unit system it is absorbed
-    into LOUDNESS_SCALE.)"""
+    """Zwicker intensity->loudness (P.862 §10.2.7 / Annex A
+    intensity_warping_of):
+        S = Sl * (Tq/0.5)^0.23 * [(0.5 + 0.5*P/Tq)^0.23 - 1],
+    floored at 0."""
     tq = _TQ_POWER[None, :]
-    ratio = bands / tq
-    s = LOUDNESS_SCALE * ((0.5 + 0.5 * ratio) ** 0.23 - 1.0)
-    return np.where(bands > tq, s, 0.0)
+    pre = SL * (tq / 0.5) ** ZWICKER_POWER
+    s = pre * ((0.5 + 0.5 * bands / tq) ** ZWICKER_POWER - 1.0)
+    return np.maximum(s, 0.0)
+
+
+def _weighted_lp(x, w, p, axis=-1):
+    """pseudo-Lp of the Annex A code: width-weighted p-norm over bands."""
+    wsum = np.sum(w)
+    return (np.sum((np.abs(x) * w) ** p, axis=axis) / wsum) ** (1.0 / p) * (
+        wsum ** (1.0 / p)
+    )
 
 
 def _lp(x, p, axis=None):
@@ -172,25 +244,28 @@ def _lp(x, p, axis=None):
 
 def pesq_wb(ref, deg, sr: int = SR) -> float:
     """PESQ MOS-LQO, wideband mode, for 1-D float waveforms in [-1, 1]."""
-    ref = np.asarray(ref, np.float64).ravel()
-    deg = np.asarray(deg, np.float64).ravel()
+    ref = np.asarray(ref, np.float64).ravel() * PCM_SCALE
+    deg = np.asarray(deg, np.float64).ravel() * PCM_SCALE
     if sr != SR:
         from ..io.resample import resample as _resample
 
         ref = _resample(ref.astype(np.float32), sr, SR).astype(np.float64)
         deg = _resample(deg.astype(np.float32), sr, SR).astype(np.float64)
 
-    ref = _highpass_100(ref - np.mean(ref))
-    deg = _highpass_100(deg - np.mean(deg))
+    # level alignment: scale each signal so its 325-3250 Hz band power hits
+    # the standard's calibrated level (P.862 §10.1.2, fix_power_level)
+    ref = ref - np.mean(ref)
+    deg = deg - np.mean(deg)
+    ref *= math.sqrt(TARGET_AVG_POWER / _band_power_325_3250(ref))
+    deg *= math.sqrt(TARGET_AVG_POWER / _band_power_325_3250(deg))
 
-    # level alignment to the common internal level
-    ref *= TARGET_RMS / (_active_rms(ref) + 1e-20)
-    deg *= TARGET_RMS / (_active_rms(deg) + 1e-20)
+    ref = _highpass_100(ref)
+    deg = _highpass_100(deg)
 
     # time alignment
     d = _align(ref, deg)
     if d >= 0:
-        ref_a, deg_a = ref[: len(ref) - 0], deg[d:]
+        ref_a, deg_a = ref, deg[d:]
         ref_a = ref_a[: len(deg_a)]
         deg_a = deg_a[: len(ref_a)]
     else:
@@ -211,73 +286,75 @@ def pesq_wb(ref, deg, sr: int = SR) -> float:
     if not np.any(active):
         return 1.0
 
-    # partial frequency-response compensation: per-band mean ratio over
-    # active frames, clipped to +-20 dB, applied to the reference
-    num = np.sum(bd[active], axis=0) + 1e3 * _TQ_POWER
-    den = np.sum(br[active], axis=0) + 1e3 * _TQ_POWER
-    # +-10 dB: enough for any codec/filter response; combined with the
-    # short-term gain bounds it must NOT be able to forgive near-silence
-    freq_comp = np.clip(num / den, 0.1, 10.0)
+    # partial frequency-response compensation (P.862 §10.2.5): per-band
+    # mean ratio over active frames, stabilized by +1000 pitch-power
+    # units, clipped to +-20 dB, applied to the REFERENCE so linear
+    # filtering of the degraded signal is (partially) forgiven
+    num = np.mean(bd[active], axis=0) + FREQ_COMP_STAB
+    den = np.mean(br[active], axis=0) + FREQ_COMP_STAB
+    freq_comp = np.clip(num / den, 1.0 / FREQ_COMP_BOUND, FREQ_COMP_BOUND)
     br_eq = br * freq_comp[None, :]
 
-    # short-term gain compensation: per-frame ratio, first-order smoothed,
-    # bounded to [0.2, 5] and applied to the DEGRADED side (dividing deg by
-    # the deg/ref ratio). For gain wobble this matches compensating the
-    # reference; for dropouts/silence it cannot manufacture agreement (a
-    # zeroed degraded frame stays zero while the reference stays audible).
-    c = 1e2 * np.sum(_TQ_POWER)
-    g_raw = (np.sum(bd, axis=1) + c) / (np.sum(br_eq, axis=1) + c)
-    g_raw = np.clip(g_raw, 0.2, 5.0)
+    # short-term gain compensation (P.862 §10.2.6): per-frame total-power
+    # ratio, stabilized by +5e3, first-order smoothed, bounded to
+    # [3e-4, 5], applied to the DEGRADED side
+    g_raw = (np.sum(br_eq, axis=1) + GAIN_COMP_STAB) / (
+        np.sum(bd, axis=1) + GAIN_COMP_STAB
+    )
     g = np.empty_like(g_raw)
     acc = 1.0
     for i in range(t):
-        acc = 0.8 * acc + 0.2 * g_raw[i]
-        g[i] = acc
-    bd_eq = bd / g[:, None]
+        acc = (1.0 - GAIN_SMOOTH) * acc + GAIN_SMOOTH * g_raw[i]
+        g[i] = min(max(acc, GAIN_COMP_MIN), GAIN_COMP_MAX)
+    bd_eq = bd * g[:, None]
 
     lr = _loudness(br_eq)
     ld = _loudness(bd_eq)
 
-    # masked disturbance
+    # masked disturbance (P.862 §10.2.8): the smaller loudness masks 25%
+    # of itself away from the difference
     diff = ld - lr
     mask = MASK_FACTOR * np.minimum(ld, lr)
     dist = np.sign(diff) * np.maximum(np.abs(diff) - mask, 0.0)
 
-    # asymmetry factor per cell (added distortion weighs more); the
-    # stabilizing constant rides the per-band threshold (ITU's flat +50 is
-    # in its internal calibrated power units)
-    asym_c = ASYM_CONST * _TQ_POWER[None, :]
-    h = ((bd_eq + asym_c) / (br_eq + asym_c)) ** ASYM_POW
+    # asymmetry factor per cell (added distortion weighs more, §10.2.8):
+    # ((deg+50)/(ref+50))^1.2, zeroed below 3, capped at 12 — the +50
+    # stabilizer is in the standard's pitch-power units, which this
+    # module's anchored calibration reproduces
+    h = ((bd_eq + ASYM_CONST) / (br_eq + ASYM_CONST)) ** ASYM_POW
     h = np.where(h < ASYM_ZERO_BELOW, 0.0, np.minimum(h, ASYM_CAP))
 
-    w = np.full(NB, _BAND_WIDTH_BARK)
-    wsum = np.sum(w)
-    # frame-level symmetric (weighted L2) and asymmetric (weighted L1)
-    d_sym = np.sqrt(np.sum((dist * w) ** 2, axis=1) / wsum) * math.sqrt(NB)
-    d_asym = np.sum(np.abs(dist) * h * w, axis=1)
+    # frame-level aggregation over bands: width-weighted L2 (symmetric) and
+    # L1 (asymmetric) pseudo-Lp norms
+    d_sym = _weighted_lp(dist, _WIDTH_BARK, D_POW_F, axis=1)
+    d_asym = np.sum(np.abs(dist) * h * _WIDTH_BARK, axis=1)
 
-    # de-emphasize quiet-reference frames (audible-power weighting)
-    audible = np.sum(np.maximum(br_eq - _TQ_POWER[None, :], 0.0), axis=1)
-    wf = ((audible + 1e-5) / (np.max(audible) + 1e-5)) ** 0.04
-    d_sym = np.minimum(d_sym * wf, FRAME_D_CAP)
-    d_asym = np.minimum(d_asym * wf, FRAME_D_CAP)
+    # frame weighting (§10.2.8): disturbances in quiet-reference frames are
+    # MORE audible — divide by h = ((audible power + 1e5)/1e7)^0.04, which
+    # amplifies quiet frames and slightly discounts very loud ones; then
+    # cap at 45
+    audible = np.sum(np.where(br_eq > _TQ_POWER[None, :], br_eq, 0.0), axis=1)
+    wf = ((audible + AUDIBLE_STAB) / TARGET_AVG_POWER) ** 0.04
+    d_sym = np.minimum(d_sym / wf, FRAME_D_CAP)
+    d_asym = np.minimum(d_asym / wf, FRAME_D_CAP)
 
-    # L6 over each PSQM interval, then L2 across intervals
-    def aggregate(x):
+    # time aggregation (§10.2.8): L6 over each 20-frame split-second
+    # interval, then L2 across intervals
+    def aggregate(x, p_s, p_t):
         n_int = max(1, int(math.ceil(len(x) / PSQM_INTERVAL)))
         vals = []
         for i in range(n_int):
             seg = x[i * PSQM_INTERVAL : (i + 1) * PSQM_INTERVAL]
             if len(seg):
-                vals.append(_lp(seg, P_FRAME))
-        return _lp(np.asarray(vals), P_INTERVAL)
+                vals.append(_lp(seg, p_s))
+        return _lp(np.asarray(vals), p_t)
 
-    dsym_t = aggregate(d_sym)
-    dasym_t = aggregate(d_asym)
+    dsym_t = aggregate(d_sym, D_POW_S, D_POW_T)
+    dasym_t = aggregate(d_asym, A_POW_S, A_POW_T)
 
     raw = 4.5 - RAW_SYM_W * dsym_t - RAW_ASYM_W * dasym_t
     raw = float(np.clip(raw, -0.5, 4.5))
-    # P.862.2 wideband logistic map
+    # P.862.2 wideband logistic map (published coefficients)
     return 0.999 + 4.0 / (1.0 + math.exp(-1.3669 * raw + 3.8224))
 
 
