@@ -30,7 +30,8 @@ import traceback
 
 
 class NomadServer:
-    def __init__(self, nomad=None, model: str = "base", cache: bool = True):
+    def __init__(self, nomad=None, model: str = "base", cache: bool = True,
+                 cache_size: int = 65536):
         if nomad is None:
             from .api import Nomad
             from .models import Wav2Vec2Config
@@ -42,10 +43,14 @@ class NomadServer:
             nomad = Nomad(config=cfg, emb_dim=emb_dim)
         self.nomad = nomad
         if cache:
+            from .scoring.engine import EmbeddingLRU
+
             # unchanged files (same path/mtime/size) reuse their embedding
             # across requests: a fixed NMR pool embeds once per server
-            # lifetime instead of once per score request
-            self.nomad.engine.file_cache = {}
+            # lifetime instead of once per score request. LRU-bounded so a
+            # churning file population holds memory flat (~1 KB/entry);
+            # edited files evict their stale entry immediately.
+            self.nomad.engine.file_cache = EmbeddingLRU(maxsize=cache_size)
 
     def warmup(self, seconds=(10.0,)) -> dict:
         """Pre-compile (or cache-load) the standard bucket shapes so the
@@ -74,13 +79,17 @@ class NomadServer:
 
             eng = self.nomad._engine
             cache = getattr(eng, "file_cache", None) if eng else None
+            cache_stats = (
+                cache.stats() if hasattr(cache, "stats")
+                else {"entries": len(cache)} if cache is not None else {}
+            )
             return {
                 "ok": True,
                 "stats": GLOBAL.stats(),
                 "embed_cache": {
                     "enabled": cache is not None,
-                    "entries": len(cache) if cache is not None else 0,
                     "hits": eng.cache_hits if eng else 0,
+                    **cache_stats,
                 },
             }
         if op == "score":
@@ -147,8 +156,16 @@ def main(argv=None):
         help="disable the per-file embedding cache (unchanged files reuse "
         "their embedding across requests by default)",
     )
+    ap.add_argument(
+        "--cache-size",
+        type=int,
+        default=65536,
+        help="embedding-cache entry cap (LRU eviction beyond it; "
+        "~1 KB/entry)",
+    )
     args = ap.parse_args(argv)
-    server = NomadServer(model=args.model, cache=not args.no_cache)
+    server = NomadServer(model=args.model, cache=not args.no_cache,
+                         cache_size=args.cache_size)
     if args.warm is not None:
         durations = tuple(args.warm) or (10.0,)
         print(json.dumps({"warmed_s": server.warmup(durations)}),

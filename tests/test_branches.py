@@ -116,9 +116,10 @@ def test_serve_main_argparse(monkeypatch, tiny):
 
     created = {}
 
-    def fake_server(model="base", cache=True):
+    def fake_server(model="base", cache=True, cache_size=65536):
         created["model"] = model
         created["cache"] = cache
+        created["cache_size"] = cache_size
 
         class S:
             def run(self):

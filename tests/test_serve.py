@@ -130,3 +130,62 @@ def test_errors_do_not_kill_service(server):
     )
     assert resps[0]["ok"] is False and "error" in resps[0]
     assert resps[1]["ok"] is True
+
+
+def test_embedding_lru_bounds_memory_and_evicts_stale(tmp_path):
+    """Soak: a churning file population holds the cache flat at maxsize
+    (VERDICT r2: the plain-dict cache grew ~1 KB/file forever), and an
+    edited file (same path, new mtime) evicts its stale entry immediately
+    instead of leaking it."""
+    from nomad_tpu.scoring.engine import EmbeddingLRU
+
+    lru = EmbeddingLRU(maxsize=64)
+    emb = np.zeros(16, np.float32)
+    for i in range(1000):  # churn: 1000 distinct files through a 64-cap
+        lru[(f"/f/{i}.wav", False, 1, 100)] = emb
+        assert len(lru) <= 64
+    assert len(lru) == 64
+    assert lru.evictions == 1000 - 64
+
+    # stale-mtime eviction: re-keying the same path replaces, not adds
+    before = len(lru)
+    lru[("/f/999.wav", False, 2, 100)] = emb  # same path, new mtime
+    assert len(lru) == before
+    assert lru.stale_evictions == 1
+    assert ("/f/999.wav", False, 1, 100) not in lru
+    assert ("/f/999.wav", False, 2, 100) in lru
+
+    # LRU order: touching an entry protects it from the next eviction
+    hot = ("/f/990.wav", False, 1, 100)
+    _ = lru[hot]
+    for i in range(2000, 2000 + 63):
+        lru[(f"/f/{i}.wav", False, 1, 100)] = emb
+    assert hot in lru
+
+
+def test_server_cache_is_lru_and_stats_report_evictions(tmp_path, rng):
+    """End-to-end: a server with a tiny cache cap stays bounded across
+    requests and reports eviction counters in the stats op."""
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    srv = NomadServer(
+        nomad=Nomad(config=cfg, emb_dim=16, params=params), cache_size=4
+    )
+    paths = []
+    for i in range(10):
+        p = tmp_path / f"s{i}.wav"
+        write_wav(
+            str(p), (0.05 * rng.standard_normal(1600)).astype(np.float32)[None],
+            16000, bits=16,
+        )
+        paths.append(str(p))
+    for i in range(0, 10, 2):
+        resp = srv.handle({"op": "embed", "paths": paths[i : i + 2]})
+        assert resp["ok"]
+    stats = srv.handle({"op": "stats"})["embed_cache"]
+    assert stats["enabled"] and stats["entries"] <= 4
+    assert stats["maxsize"] == 4
+    assert stats["evictions"] == 10 - 4
