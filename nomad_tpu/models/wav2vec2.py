@@ -74,6 +74,11 @@ class Wav2Vec2Config:
     # einsum path's two [B, H, T', T'] f32 buffers are the binding HBM
     # constraint (large batches of >20 s files); scores match to ~5e-6.
     # 'pallas': force the kernel everywhere (kernel benchmarking).
+    # 'fused_qkv': projection-fused Pallas attention (round-3 experiment,
+    # ops/fused_attention.py) — q/k/v projections + masked softmax in ONE
+    # kernel for T' <= 1024, bf16_3x emulated 'high' precision, einsum
+    # fallback beyond; the kernel-boundary relayout cost that sank the
+    # pure-attention kernel disappears.
     attention_impl: str = "xla"
     remat: bool = False
     # TPU MXU precision for matmuls/convs: 'default' (bf16, fastest, ~1e-3
@@ -322,6 +327,27 @@ class PositionalConvEmbedding(nn.Module):
         return jax.nn.gelu(y, approximate=False)
 
 
+class _ProjParams(nn.Module):
+    """Parameter container with nn.Dense's exact tree layout and
+    initializers ({kernel [in,out] lecun_normal, bias [out] zeros}), used
+    by the fused attention path to hand RAW weights to the Pallas kernel
+    while staying checkpoint-compatible with the Dense path."""
+
+    d_in: int
+    d_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.d_in, self.d_out), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.d_out,), jnp.float32
+        )
+        return kernel, bias
+
+
 class EncoderLayer(nn.Module):
     """Post-LN transformer block (fairseq TransformerSentenceEncoderLayer,
     layer_norm_first=False)."""
@@ -345,30 +371,56 @@ class EncoderLayer(nn.Module):
         )
 
         residual = x
+        use_fused = cfg.attention_impl == "fused_qkv" and (
+            deterministic or cfg.attention_dropout == 0.0
+        )
         with jax.default_matmul_precision(cfg.attn_prec):
-            q = dense(d, name="q_proj")(x).reshape(
-                x.shape[0], x.shape[1], h, head_dim
-            )
-            k = dense(d, name="k_proj")(x).reshape(
-                x.shape[0], x.shape[1], h, head_dim
-            )
-            v = dense(d, name="v_proj")(x).reshape(
-                x.shape[0], x.shape[1], h, head_dim
-            )
-            if not deterministic and cfg.attention_dropout > 0.0:
-                # dropout on attention weights needs the einsum path
-                attn = mha_xla_dropout(
-                    q,
-                    k,
-                    v,
-                    key_mask,
-                    rate=cfg.attention_dropout,
-                    rng=self.make_rng("dropout"),
-                )
+            if use_fused:
+                # projection-fused Pallas attention: q/k/v projections +
+                # masked softmax run in one kernel (no HBM q/k/v, scores,
+                # or softmax buffers), out-proj consumes the head-major
+                # kernel output as one einsum. Param tree/naming identical
+                # to the Dense path (checkpoint-compatible).
+                from ..ops.fused_attention import fused_qkv_attention
+
+                wq, bq = _ProjParams(d, d, name="q_proj")()
+                wk, bk = _ProjParams(d, d, name="k_proj")()
+                wv, bv = _ProjParams(d, d, name="v_proj")()
+                wo, bo = _ProjParams(d, d, name="out_proj")()
+                mode = {
+                    "high": "high3", "default": "default",
+                    "highest": "highest",
+                }[cfg.attn_prec]
+                attn = fused_qkv_attention(
+                    x, wq, bq, wk, bk, wv, bv, wo, bo,
+                    key_mask=key_mask, heads=h, mode=mode,
+                ).astype(cfg.block_dtype)
             else:
-                attn = mha(q, k, v, key_mask=key_mask, impl=cfg.attention_impl)
-            attn = attn.reshape(x.shape[0], x.shape[1], d)
-            attn = dense(d, name="out_proj")(attn)
+                q = dense(d, name="q_proj")(x).reshape(
+                    x.shape[0], x.shape[1], h, head_dim
+                )
+                k = dense(d, name="k_proj")(x).reshape(
+                    x.shape[0], x.shape[1], h, head_dim
+                )
+                v = dense(d, name="v_proj")(x).reshape(
+                    x.shape[0], x.shape[1], h, head_dim
+                )
+                if not deterministic and cfg.attention_dropout > 0.0:
+                    # dropout on attention weights needs the einsum path
+                    attn = mha_xla_dropout(
+                        q,
+                        k,
+                        v,
+                        key_mask,
+                        rate=cfg.attention_dropout,
+                        rng=self.make_rng("dropout"),
+                    )
+                else:
+                    attn = mha(
+                        q, k, v, key_mask=key_mask, impl=cfg.attention_impl
+                    )
+                attn = attn.reshape(x.shape[0], x.shape[1], d)
+                attn = dense(d, name="out_proj")(attn)
         attn = nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
         x = ln(name="self_attn_layer_norm")(residual + attn)
 
