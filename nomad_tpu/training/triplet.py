@@ -200,8 +200,15 @@ class Training:
     # ------------- params / optimizer -------------
 
     def _load_params(self, cfg) -> dict:
+        import functools
+
         wav = jnp.zeros((1, 4000), jnp.float32)
-        params = self.model.init(jax.random.key(0), wav, method=NomadModel.init_all)
+        # jitted init: one (cached) compile instead of eager op-by-op
+        # dispatch — through a remote-compile relay the eager path costs
+        # minutes (round-3 finding, same trap as the unjitted cdist)
+        params = jax.jit(
+            functools.partial(self.model.init, method=NomadModel.init_all)
+        )(jax.random.key(0), wav)
         ckpt = cfg.get("checkpoint_path")
         if ckpt and os.path.isfile(ckpt):
             if ckpt.endswith(".npz"):
@@ -340,6 +347,8 @@ class Training:
             return iterable
 
     def train(self, loader=None, rng_seed: int = 0) -> float:
+        import time as _time
+
         loader = loader or self.train_loader
         # losses stay device-side until the epoch ends: a float() per step
         # would serialize the loop (transfer -> compute -> transfer),
@@ -347,7 +356,17 @@ class Training:
         # copy under the current step's compute
         losses = []
         key = jax.random.key(rng_seed)
-        for batch in self._progress(loader):
+        wall0 = _time.perf_counter()
+        wait_s = 0.0
+        it = iter(self._progress(loader))
+        while True:
+            t0 = _time.perf_counter()
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            # time blocked on the loader = prefetch NOT overlapping compute
+            wait_s += _time.perf_counter() - t0
             key, sub = jax.random.split(key)
             fn = self._get_step(
                 batch.anchor.shape, batch.anchor.dtype == np.int16
@@ -361,7 +380,16 @@ class Training:
                 jnp.float32(self.lr_backbone), jnp.float32(self.lr_head), sub,
             )
             losses.append(loss)
-        return float(np.mean([float(l) for l in losses])) if losses else 0.0
+        mean = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        wall = _time.perf_counter() - wall0  # includes the deferred loss sync
+        self.last_train_stats = {
+            "steps": len(losses),
+            "wall_s": round(wall, 3),
+            "loader_wait_s": round(wait_s, 3),
+            # fraction of the epoch the loader prefetch kept the device fed
+            "loader_overlap": round(1.0 - wait_s / max(wall, 1e-9), 4),
+        }
+        return mean
 
     def eval(self, loader=None) -> float:
         loader = loader or self.valid_loader
