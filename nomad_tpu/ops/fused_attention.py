@@ -96,8 +96,10 @@ def _fused_kernel(len_ref, x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
     """One (batch, head, q-block) program.
 
     x_ref:   [1, T, D_model] VMEM (resident across heads/q-blocks)
-    w*_ref:  [D_model, head_dim] VMEM (this head's projection columns)
-    b*_ref:  [1, head_dim] VMEM
+    w*_ref:  [1, D_model, head_dim] VMEM (this head's projection columns;
+    the head-major layout keeps the block's minor dims equal to the full
+    array dims, which Mosaic requires when head_dim < 128)
+    b*_ref:  [1, 1, head_dim] VMEM
     o_ref:   [1, 1, block_q, head_dim] VMEM (head-major output — the
     out-projection consumes it as one einsum, no relayout)
     k_scr/v_scr: [T, head_dim] f32 VMEM scratch, built at q-block 0 and
@@ -111,11 +113,11 @@ def _fused_kernel(len_ref, x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
     @pl.when(qb == 0)
     def _build_kv():
         x_all = x_ref[0].astype(jnp.float32)
-        k_scr[...] = _dot(x_all, wk_ref[...], mm, mode) + bk_ref[0][None, :]
-        v_scr[...] = _dot(x_all, wv_ref[...], mm, mode) + bv_ref[0][None, :]
+        k_scr[...] = _dot(x_all, wk_ref[0], mm, mode) + bk_ref[0, 0][None, :]
+        v_scr[...] = _dot(x_all, wv_ref[0], mm, mode) + bv_ref[0, 0][None, :]
 
     xq = x_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-    q = _dot(xq, wq_ref[...], mm, mode) + bq_ref[0][None, :]
+    q = _dot(xq, wq_ref[0], mm, mode) + bq_ref[0, 0][None, :]
     hd = q.shape[-1]
     q = q * (1.0 / (hd**0.5))
     s = _dot(q, k_scr[...], (((1,), (1,)), ((), ())), mode)  # [bq, T]
@@ -152,12 +154,12 @@ def _fused_call(x, wq, wk, wv, bq, bk, bv, lengths, heads: int, block_q: int,
                 # index depends only on batch -> stays VMEM-resident for
                 # all heads/q-blocks of one item
                 pl.BlockSpec((1, t_pad, dm), lambda bi, h, qb, lens: (bi, 0, 0)),
-                pl.BlockSpec((dm, hd), lambda bi, h, qb, lens: (0, h)),
-                pl.BlockSpec((dm, hd), lambda bi, h, qb, lens: (0, h)),
-                pl.BlockSpec((dm, hd), lambda bi, h, qb, lens: (0, h)),
-                pl.BlockSpec((1, hd), lambda bi, h, qb, lens: (h, 0)),
-                pl.BlockSpec((1, hd), lambda bi, h, qb, lens: (h, 0)),
-                pl.BlockSpec((1, hd), lambda bi, h, qb, lens: (h, 0)),
+                pl.BlockSpec((1, dm, hd), lambda bi, h, qb, lens: (h, 0, 0)),
+                pl.BlockSpec((1, dm, hd), lambda bi, h, qb, lens: (h, 0, 0)),
+                pl.BlockSpec((1, dm, hd), lambda bi, h, qb, lens: (h, 0, 0)),
+                pl.BlockSpec((1, 1, hd), lambda bi, h, qb, lens: (h, 0, 0)),
+                pl.BlockSpec((1, 1, hd), lambda bi, h, qb, lens: (h, 0, 0)),
+                pl.BlockSpec((1, 1, hd), lambda bi, h, qb, lens: (h, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, block_q, hd), lambda bi, h, qb, lens: (bi, h, qb, 0)
@@ -237,9 +239,16 @@ def _fused_fwd_impl(x, wq, bq_, wk, bk_, wv, bv_, wo, bo_, key_mask, heads,
     xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0))) if t_pad != t else x
     hd = dm // heads
     block_q = min(512, t_pad)
+
+    def per_head_w(w):  # [D, D] -> [H, D, hd] (head-major column slices)
+        return w.reshape(dm, heads, hd).transpose(1, 0, 2)
+
+    def per_head_b(bias):  # [D] -> [H, 1, hd]
+        return bias.reshape(heads, 1, hd)
+
     out = _fused_call(
-        xp, wq, wk, wv,
-        bq_.reshape(heads, hd), bk_.reshape(heads, hd), bv_.reshape(heads, hd),
+        xp, per_head_w(wq), per_head_w(wk), per_head_w(wv),
+        per_head_b(bq_), per_head_b(bk_), per_head_b(bv_),
         lengths, heads, block_q, mode, interpret,
     )
     return _out_proj(out[:, :, :t, :], wo, bo_, heads, mode)

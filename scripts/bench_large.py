@@ -3,15 +3,20 @@
 degraded utterances x 100 NMRs (synthetic 10 s waves standing in for
 LibriSpeech), embeddings + blocked/sharded cdist via LargeScaleScorer.
 
+Runs at the PARITY precision ('exact' = bf16_3x matmuls, the scoring
+default; round-2 recorded this artifact at the rejected 'fast' recipe —
+VERDICT r2 item 3). Set LS_PRECISION=fast for the throughput-recipe row.
+
 Writes BENCH_LARGE.json at the repo root:
   {"metric": "large_scale_scoring", "wav_sec_per_sec_per_chip": ...,
-   "detail": {embed_s, cdist_s, n_deg, n_nmr, h2d_MBps, ...}}
+   "detail": {embed_s, cdist_s, transfer_GB, put stats, ...}}
 
 Scale knobs: LS_N_DEG (default 10000), LS_N_NMR (100), LS_SECONDS (10).
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -29,8 +34,13 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from nomad_tpu.models import NomadModel, Wav2Vec2Config  # noqa: E402
-from nomad_tpu.scoring.engine import EmbeddingEngine  # noqa: E402
+from nomad_tpu.scoring.engine import (  # noqa: E402
+    EmbeddingEngine,
+    warm_wire_async,
+)
 from nomad_tpu.scoring.large_scale import LargeScaleScorer  # noqa: E402
+
+warm_wire_async()  # overlap the relay's one-time d2h setup with synthesis
 
 
 def synth(n, seconds, seed):
@@ -48,6 +58,7 @@ def main():
     n_deg = int(os.environ.get("LS_N_DEG", 10000))
     n_nmr = int(os.environ.get("LS_N_NMR", 100))
     seconds = float(os.environ.get("LS_SECONDS", 10))
+    precision = os.environ.get("LS_PRECISION", "exact")
 
     mesh = None
     n_dev = len(jax.devices())
@@ -56,20 +67,23 @@ def main():
 
         mesh = data_mesh()
 
-    model = NomadModel(Wav2Vec2Config.fast(), emb_dim=256)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model.init(
-            jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
-        )
-    params = jax.device_get(params)
+    mk = Wav2Vec2Config.fast if precision == "fast" else Wav2Vec2Config.base
+    model = NomadModel(mk(), emb_dim=256)
+    # throwaway random params: init on-device, nothing shipped over the wire
+    init = jax.jit(functools.partial(model.init, method=NomadModel.init_all))
+    params = init(jax.random.key(0), jnp.zeros((1, 4000), jnp.float32))
     engine = EmbeddingEngine(model, params, mesh=mesh)
 
     print(f"synthesizing {n_deg}+{n_nmr} x {seconds}s waves...", flush=True)
     deg = synth(n_deg, seconds, 5)
     nmr = synth(n_nmr, seconds, 6)
 
-    # warm the bucket shape on a small slice first (compile outside timing)
-    engine.embed_waves(deg[:64])
+    # compile every planned shape (full batches + the two tails) up front
+    if mesh is None:
+        engine.prewarm((seconds,), counts=(n_deg,), single=False)
+        engine.prewarm((seconds,), counts=(n_nmr,), single=False)
+    else:
+        engine.embed_waves(deg[:64])
 
     t0 = time.time()
     emb_deg = engine.embed_waves(deg, progress=False)
@@ -85,9 +99,14 @@ def main():
 
     total_wav = (n_deg + n_nmr) * seconds
     wall = embed_s + cdist_s
+    transfer_gb = sum(len(w) * 2 for w in deg + nmr) / 1e9
+    tstats = engine.transfer_stats()
+    wire_rate = tstats["probes_MBps"].get(tstats["mode"] or "", None)
     result = {
         "metric": "large_scale_scoring",
-        "wav_sec_per_sec_per_chip": round(total_wav / wall / max(1, n_dev if mesh else 1), 1),
+        "wav_sec_per_sec_per_chip": round(
+            total_wav / wall / max(1, n_dev if mesh else 1), 1
+        ),
         "detail": {
             "n_deg": n_deg,
             "n_nmr": n_nmr,
@@ -95,9 +114,17 @@ def main():
             "embed_s": round(embed_s, 1),
             "cdist_s": round(cdist_s, 2),
             "wall_s": round(wall, 1),
+            "transfer_GB": round(transfer_gb, 2),
+            # wire/compute split: the engine pipelines the int16 payload
+            # under compute, so wall ~= max(wire, compute); this field
+            # shows which side bound the run
+            "wire_floor_s": round(transfer_gb * 1e3 / wire_rate, 1)
+            if wire_rate else None,
+            "put_mode": tstats["mode"],
+            "put_probe_MBps": tstats["probes_MBps"],
             "backend": jax.default_backend(),
             "n_devices": n_dev,
-            "precision": "fast",
+            "precision": precision,
         },
     }
     out = os.path.join(os.path.dirname(__file__), "..", "BENCH_LARGE.json")
