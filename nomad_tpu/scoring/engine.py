@@ -668,16 +668,36 @@ class EmbeddingEngine:
                          self._dispatch(key, params, *self._put(batch, lengths)))
                     )
 
-        for chunk, emb_dev in pending:
-            with timed("engine.collect", items=len(chunk)):
-                emb = np.asarray(emb_dev)
-            for row, i in enumerate(chunk):
-                out[i] = emb[row]
-            if bar is not None:
-                bar.update(len(chunk))
+        self._collect(pending, out, bar)
         if bar is not None:
             bar.close()
         return np.stack([out[i] for i in range(n)])
+
+    def _collect(self, pending, out, bar=None, group: int = 16) -> None:
+        """Drain (chunk, device-embedding) results in GROUPS: one device
+        concatenate + one readback per 16 chunks instead of one RPC per
+        chunk. Through the relay each d2h round trip costs ~0.5-1 s of
+        latency regardless of size — the 10k-file large-scale run spent
+        ~84 s on 105 sequential per-chunk readbacks before this."""
+        for g0 in range(0, len(pending), group):
+            grp = pending[g0 : g0 + group]
+            with timed("engine.collect",
+                       items=sum(len(c) for c, _ in grp)):
+                if len(grp) == 1:
+                    embs = [np.asarray(grp[0][1])]
+                else:
+                    cat = np.asarray(
+                        jnp.concatenate([e for _, e in grp], axis=0)
+                    )
+                    embs, ofs = [], 0
+                    for _, e in grp:
+                        embs.append(cat[ofs : ofs + e.shape[0]])
+                        ofs += e.shape[0]
+            for (chunk, _e), emb in zip(grp, embs):
+                for row, i in enumerate(chunk):
+                    out[i] = emb[row]
+                if bar is not None:
+                    bar.update(len(chunk))
 
     def load_waves(self, paths: Sequence[str], trim: bool = False):
         from ..io import load_for_scoring
@@ -842,10 +862,7 @@ class EmbeddingEngine:
                                    *self._put(batch, lengths)),
                 ))
 
-        for chunk, emb_dev in pending:
-            emb = np.asarray(emb_dev)
-            for row, i in enumerate(chunk):
-                out[i] = emb[row]
+        self._collect(pending, out)
         return np.stack([out[i] for i in range(len(paths))])
 
 

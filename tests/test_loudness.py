@@ -71,9 +71,15 @@ def test_normalize_caps_at_true_peak():
     # very quiet but peaky: the -23 LUFS gain would clip, so TP caps it
     x = np.zeros(fs * 2, np.float32)
     x[::4000] = 0.05
-    y, info = L.normalize_loudness(x, fs, target_i=-23.0, target_tp=-2.0)
+    # dynamic='never' pins the round-2 linear-cap branch; the default
+    # ('auto') now falls back to dynamic loudnorm like ffmpeg-normalize
+    y, info = L.normalize_loudness(x, fs, target_i=-23.0, target_tp=-2.0,
+                                   dynamic="never")
     assert info["tp_capped"]
     assert L.true_peak_db(y, fs) <= -1.8
+    y2, info2 = L.normalize_loudness(x, fs, target_i=-23.0, target_tp=-2.0)
+    assert info2["mode"] == "dynamic"
+    assert L.true_peak_db(y2, fs) <= -1.8
 
 
 def test_driver_normalize_native_path(tmp_path):
@@ -90,3 +96,50 @@ def test_driver_normalize_native_path(tmp_path):
     assert sr == fs
     got = L.integrated_loudness(y[0], fs)
     assert abs(got - (-23.0)) < 0.3, got
+
+
+def test_dynamic_fallback_on_clipping_risk():
+    """ffmpeg-normalize behavior (audio_degrader_training.py:70-71): when
+    one linear gain cannot reach target I without passing the TP ceiling,
+    fall back to dynamic (time-varying) loudnorm. The dynamic result must
+    land near the integrated target while the true peak stays under the
+    ceiling — exactly what the linear cap could NOT do."""
+    import numpy as np
+
+    from nomad_tpu.utils.loudness import (
+        integrated_loudness,
+        normalize_loudness,
+        true_peak_db,
+    )
+
+    fs = 16000
+    t = np.arange(fs * 6) / fs
+    # quiet speech-like body with brief near-full-scale clicks: the
+    # integrated loudness is LOW (needs big gain) but the peak is already
+    # near 0 dBTP, so linear mode is ceiling-bound
+    x = 0.01 * np.sin(2 * np.pi * 150 * t) * (1 + 0.5 * np.sin(2 * np.pi * 1.1 * t))
+    x[fs::fs] = 0.9
+    x = x.astype(np.float32)
+
+    lin, lin_info = normalize_loudness(x, fs, dynamic="never")
+    assert lin_info["mode"] == "linear" and lin_info["tp_capped"]
+    # capped linear CANNOT reach the target
+    assert integrated_loudness(lin, fs) < -23.0 - 3.0
+
+    dyn, dyn_info = normalize_loudness(x, fs, dynamic="auto")
+    assert dyn_info["mode"] == "dynamic"
+    assert abs(integrated_loudness(dyn, fs) - (-23.0)) < 2.0
+    assert true_peak_db(dyn, fs) <= -2.0 + 0.2
+
+
+def test_dynamic_not_taken_for_normal_material():
+    import numpy as np
+
+    from nomad_tpu.utils.loudness import integrated_loudness, normalize_loudness
+
+    fs = 16000
+    t = np.arange(fs * 4) / fs
+    x = (0.05 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    y, info = normalize_loudness(x, fs, dynamic="auto")
+    assert info["mode"] == "linear" and not info["tp_capped"]
+    assert abs(integrated_loudness(y, fs) - (-23.0)) < 0.5
