@@ -186,6 +186,8 @@ def main():
     t0 = time.time()
     if mesh is None:
         engine.prewarm((seconds,), counts=(n_deg + n_nmr,), single=False)
+        # decode executable for the wire codec's packed payloads
+        engine.prewarm_codec(deg + nmr)
     # the distance-matrix shape too: a tiny compile, but through the
     # remote-compile service even tiny compiles cost a round trip
     np.asarray(cdist(np.zeros((n_deg, 256), np.float32),
@@ -280,6 +282,13 @@ def main():
             # chose and what each measured (VERDICT r2 item 8)
             "put_mode": engine.transfer_stats()["mode"],
             "put_probe_MBps": engine.transfer_stats()["probes_MBps"],
+            # wire codec: packed int16 payloads decoded on-device
+            # (lossless; see ops/wirecodec.py). in_use = the raw-vs-packed
+            # race's verdict for this session's relay weather.
+            "codec_in_use": engine.transfer_stats()["codec_in_use"],
+            "codec_race_MBps": engine.transfer_stats()["codec_race_MBps"],
+            "codec_hits": engine.transfer_stats()["codec_hits"],
+            "codec_saved_MB": engine.transfer_stats()["codec_saved_MB"],
             "cpu_baseline_wav_sec_per_sec": round(baseline, 2),
             "backend": jax.default_backend(),
             "n_devices": n_dev,

@@ -465,6 +465,112 @@ int nomad_load_batch_i16(const char** paths, int64_t n, int16_t* batch,
   return failures.load();
 }
 
+// ---- wire codec encoder: first-order delta + zigzag + per-block bit
+// packing of int16 PCM, S = 1024 samples/block. Format consumed by the
+// on-device decoder in nomad_tpu/ops/wirecodec.py (the host->device wire
+// is the scoring bottleneck; typical speech packs to ~9-12 bits/sample).
+// Returns total packed words, or -1 if packed_cap is too small. Output
+// ranges per block are disjoint, so the pack pass is embarrassingly
+// parallel; every emitted word is written exactly once (no zeroing of
+// `packed` required).
+int64_t nomad_pack_i16(const int16_t* data, int64_t n_blocks,
+                       uint32_t* packed, int64_t packed_cap,
+                       int32_t* widths, int32_t* offsets, int32_t* firsts,
+                       int num_threads) {
+  const int S = 1024;
+  int nt = std::max(1, (int)std::min<int64_t>(num_threads, n_blocks));
+  {
+    // pass 1: per-block max zigzag -> bit width, plus block-first samples
+    std::atomic<int64_t> next(0);
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+      pool.emplace_back([&]() {
+        for (;;) {
+          int64_t b = next.fetch_add(64);
+          if (b >= n_blocks) break;
+          int64_t e = std::min(n_blocks, b + 64);
+          for (int64_t k = b; k < e; ++k) {
+            const int16_t* x = data + k * S;
+            firsts[k] = x[0];
+            uint32_t mx = 0;
+            int32_t prev = x[0];
+            for (int i = 1; i < S; ++i) {
+              int32_t d = (int32_t)x[i] - prev;
+              prev = x[i];
+              uint32_t z = (uint32_t)((d << 1) ^ (d >> 31));
+              if (z > mx) mx = z;
+            }
+            widths[k] = mx ? 32 - __builtin_clz(mx) : 0;
+          }
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  int64_t total = 0;
+  for (int64_t k = 0; k < n_blocks; ++k) {  // pass 2: word offsets
+    offsets[k] = (int32_t)total;
+    total += ((int64_t)widths[k] * S + 31) / 32;
+  }
+  if (total + 1 > packed_cap) return -1;
+  {
+    // pass 3: bit-plane layout per 32-sample group — word (g, p) holds
+    // bit p of the group's 32 zigzag deltas (bit j = sample j). One
+    // element-gather decodes this on the TPU; the LSB-sequential layout
+    // needed two (see nomad_tpu/ops/wirecodec.py).
+    std::atomic<int64_t> next(0);
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+      pool.emplace_back([&]() {
+        for (;;) {
+          int64_t b = next.fetch_add(64);
+          if (b >= n_blocks) break;
+          int64_t e = std::min(n_blocks, b + 64);
+          for (int64_t k = b; k < e; ++k) {
+            const int w = widths[k];
+            if (w == 0) continue;
+            const int16_t* x = data + k * S;
+            uint32_t* out = packed + offsets[k];
+            int32_t prev = x[0];
+            uint32_t a[32];
+            for (int g = 0; g < S / 32; ++g) {
+              // load reversed so the 32x32 bit transpose (Hacker's
+              // Delight 7-3, MSB-first orientation) yields plane p at
+              // a[31 - p] with bit j = sample j's bit p
+              for (int j = 0; j < 32; ++j) {
+                int idx = g * 32 + j;
+                uint32_t zj;
+                if (idx == 0) {
+                  zj = 0;  // sample 0 encodes delta 0
+                } else {
+                  int32_t d = (int32_t)x[idx] - prev;
+                  zj = (uint32_t)((d << 1) ^ (d >> 31));
+                }
+                prev = x[idx];
+                a[31 - j] = zj;
+              }
+              uint32_t m = 0x0000FFFFu;
+              for (int j = 16; j != 0; j >>= 1, m ^= m << j) {
+                for (int p = 0; p < 32; p = (p + j + 1) & ~j) {
+                  uint32_t t2 = (a[p] ^ (a[p + j] >> j)) & m;
+                  a[p] ^= t2;
+                  a[p + j] ^= t2 << j;
+                }
+              }
+              uint32_t* gw = out + (int64_t)g * w;
+              for (int p = 0; p < w; ++p) gw[p] = a[31 - p];
+            }
+          }
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+  return total;
+}
+
 int nomad_native_abi_version() { return 1; }
 
 }  // extern "C"

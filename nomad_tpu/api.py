@@ -144,15 +144,26 @@ class Nomad:
     # ---------------- weights ----------------
 
     def _init_params(self):
+        import functools
+
         from .utils.cache import cpu_compile_bypass
 
         wav = jnp.zeros((1, 4000), jnp.float32)
-        # init on host: the seeded random init needs no accelerator, and
-        # jitting it through a remote-compile service wastes ~a minute.
-        # cpu_compile_bypass keeps this CPU-device executable OUT of the
-        # persistent cache: through a remote-compile service it carries the
-        # service machine's CPU features, and reloading it on another host
-        # risks SIGILL (round-2 driver bench logged the mismatch warning).
+        if jax.default_backend() != "cpu":
+            # seeded random init directly ON the accelerator: zero bytes
+            # cross the host->device wire (the host-init + 380 MB transfer
+            # cost a CLI cold start 6-9 minutes on a bad relay stretch),
+            # the executable lands in the persistent cache, and no
+            # CPU-device compile happens at all
+            init = jax.jit(
+                functools.partial(self.model.init, method=NomadModel.init_all)
+            )
+            return init(jax.random.key(0), wav)
+        # CPU backend: plain host init. cpu_compile_bypass keeps the
+        # executable OUT of the persistent cache — through a remote-compile
+        # service it would carry the service machine's CPU features, and
+        # reloading it on another host risks SIGILL (round-2 driver bench
+        # logged the mismatch warning).
         with cpu_compile_bypass(), jax.default_device(jax.devices("cpu")[0]):
             params = self.model.init(
                 jax.random.key(0), wav, method=NomadModel.init_all

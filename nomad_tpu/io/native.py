@@ -132,8 +132,54 @@ def get_lib() -> Optional[ctypes.CDLL]:
             + [ctypes.POINTER(ctypes.c_int16)]
             + lib.nomad_load_batch.argtypes[3:]
         )
+        if hasattr(lib, "nomad_pack_i16"):  # additive API (wire codec)
+            lib.nomad_pack_i16.restype = ctypes.c_int64
+            lib.nomad_pack_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int,
+            ]
         _lib = lib
     return _lib
+
+
+def native_pack_i16(batch, num_threads: int = 8):
+    """C++ wire-codec encoder (see ops/wirecodec.py for the format).
+    batch: contiguous [NB*S] or [B, T] int16 with S=1024-divisible sample
+    count. Returns (packed u32[total], widths, offsets, firsts) or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "nomad_pack_i16"):
+        return None
+    arr = np.ascontiguousarray(batch, dtype=np.int16)
+    n = arr.size
+    if n % 1024:
+        return None
+    nb = n // 1024
+    cap = nb * (17 * 1024 // 32) + 2
+    packed = np.empty(cap, np.uint32)
+    widths = np.empty(nb, np.int32)
+    offsets = np.empty(nb, np.int32)
+    firsts = np.empty(nb, np.int32)
+    total = lib.nomad_pack_i16(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        nb,
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        cap,
+        widths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        firsts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(num_threads),
+    )
+    if total < 0:
+        return None
+    return packed[:total], widths, offsets, firsts
 
 
 def available() -> bool:

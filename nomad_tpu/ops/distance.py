@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
-def cdist(a, b, precision=None):
+def cdist(a, b, precision="highest"):
     """Euclidean distance matrix between rows of a [N, D] and b [M, D].
 
     Error model: the Gram formulation cancels catastrophically when
@@ -31,6 +31,11 @@ def cdist(a, b, precision=None):
     vs exact is < 5e-4 even at d=0, well inside the 1e-3 parity budget
     (validated against scipy in tests/test_distance.py).
     """
+    # precision 'highest': on TPU the default matmul precision is bf16,
+    # and the Gram term then disagrees with the f32 elementwise norms by
+    # ~1e-3 — sqrt turns that into a PHANTOM 0.001 distance between
+    # IDENTICAL embeddings (caught by the round-3 CLI drive; the [N,256]
+    # x [M,256] matmul is microscopic, full f32 costs nothing)
     a = jnp.asarray(a, dtype=jnp.float32)
     b = jnp.asarray(b, dtype=jnp.float32)
     center = (jnp.mean(a, axis=0) + jnp.mean(b, axis=0)) * 0.5

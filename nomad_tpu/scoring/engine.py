@@ -181,6 +181,28 @@ class EmbeddingEngine:
     # RE-probed every probe_interval large batches so a stale reading
     # can't pin the slower mode for the engine's lifetime.
     probe_interval: int = 8
+    # Wire codec: lossless delta+bit-packing of int16 batches, decoded
+    # on-device (ops/wirecodec.py). The pipeline is wire-bound, so payload
+    # bytes are the headline: typical speech packs to ~0.6x, the synthetic
+    # bench batch to ~0.84x, and the relay's own compression does NOT
+    # capture this redundancy (measured round 3). 'auto' = on for TPU
+    # backends; 'on' forces (tests); 'off' disables. Batches whose packed
+    # size exceeds wire_codec_max_ratio of raw ship raw (incompressible
+    # material loses nothing).
+    wire_codec: str = "auto"
+    wire_codec_max_ratio: float = 0.95
+    _codec_hits: int = field(default=0, repr=False)
+    _codec_skips: int = field(default=0, repr=False)
+    _codec_saved_bytes: int = field(default=0, repr=False)
+    # 'auto' decides EMPIRICALLY: the relay compresses raw PCM itself by a
+    # weather-dependent amount (sometimes more than the codec's byte
+    # saving, sometimes far less), so raw and packed halves of one batch
+    # are raced in LOGICAL bytes/s and the winner ships; re-raced every
+    # probe_interval batches. 'on' forces packed, None = undecided (raw
+    # until the first race).
+    _codec_probes: dict = field(default_factory=dict, repr=False)
+    _use_codec: Optional[bool] = field(default=None, repr=False)
+    _codec_puts_since_probe: int = field(default=0, repr=False)
     _put_mode: Optional[str] = field(default=None, repr=False)
     _put_probes: dict = field(default_factory=dict, repr=False)
     _probe_count: int = field(default=0, repr=False)
@@ -231,8 +253,12 @@ class EmbeddingEngine:
             self._jitted[key] = fn
         return fn
 
-    def _put(self, batch: np.ndarray, lengths: np.ndarray):
+    def _put(self, batch: np.ndarray, lengths: np.ndarray, enc=False):
         """Async host->device placement (sharded when a mesh is set).
+
+        ``enc``: wire-codec disposition — a dict = encoding precomputed in
+        the assemble pool; False = decide (and encode) here; None = ship
+        raw (caller already found the batch incompressible).
 
         Single-device path: large batches are split into row chunks pushed
         over parallel streams. The axon relay (and PCIe DMA generally)
@@ -245,6 +271,86 @@ class EmbeddingEngine:
             return jax.device_put(batch, sh), jax.device_put(
                 lengths.astype(np.int32), sh
             )
+        wave_dev = None
+        codec_candidate = isinstance(enc, dict) or (
+            enc is False and self._codec_applicable(batch)
+        )
+        if codec_candidate:
+            if self.wire_codec == "on":
+                use = True
+            elif (
+                self._use_codec is None
+                or self._codec_puts_since_probe >= self.probe_interval
+            ):
+                wave_dev = self._probe_codec(
+                    batch, enc if isinstance(enc, dict) else None
+                )
+                use = False  # probe already shipped the batch
+            else:
+                use = self._use_codec
+                self._codec_puts_since_probe += 1
+            if wave_dev is None and use:
+                wave_dev = self._put_packed(
+                    batch, enc=enc if isinstance(enc, dict) else None
+                )
+        if wave_dev is None:
+            wave_dev = self._put_array(batch)
+        return wave_dev, jax.device_put(lengths.astype(np.int32), self.device)
+
+    def _probe_codec(self, batch: np.ndarray, enc=None):
+        """Race raw vs packed transport on halves of THIS batch, in
+        LOGICAL bytes/s (raw-equivalent payload / wall time, readback
+        bounded). The relay compresses raw PCM itself by a varying amount
+        — some sessions it beats the codec's byte saving, some it's far
+        behind — so no static decision survives; EWMA-merged races pick
+        the day's winner (same philosophy as the single/parallel stream
+        probe)."""
+        h = batch.shape[0] // 2
+        enc_b = self._encode_batch(batch[h:]) if h >= 1 else None
+        if enc_b is None:
+            self._use_codec = False
+            self._codec_puts_since_probe = 0
+            return None  # incompressible: raw path handles the batch
+        from ..ops import wirecodec
+
+        ewma = 0.5
+        # raw half
+        t0 = time.perf_counter()
+        put_a = self._put_array(batch[:h])
+        np.asarray(put_a[:1, :1])
+        rate_raw = batch[:h].nbytes / max(time.perf_counter() - t0, 1e-9)
+        # packed half (decode included in the shipped result, excluded
+        # from the wire timing)
+        rows = enc_b["packed"].reshape(-1, wirecodec.MIN_PACK_WORDS)
+        t0 = time.perf_counter()
+        put_p = self._put_array(rows)
+        np.asarray(put_p[:1, :1])
+        rate_packed = batch[h:].nbytes / max(time.perf_counter() - t0, 1e-9)
+        meta = jax.device_put(wirecodec.pack_meta(enc_b), self.device)
+        bh, t = enc_b["shape"]
+        dec_b = wirecodec.decode_call(put_p, meta, b=bh, t=t)
+        for mode, rate in (("raw", rate_raw), ("packed", rate_packed)):
+            old = self._codec_probes.get(mode)
+            self._codec_probes[mode] = rate if old is None else (
+                ewma * rate + (1.0 - ewma) * old
+            )
+        # 25% hysteresis: the packed path carries ~10-15% of end-to-end
+        # overhead the wire-only race can't see (on-device decode occupancy,
+        # extra dispatches, encode thread contention — measured round 3:
+        # wire race said packed 1.21x while raw still won e2e on the
+        # synthetic bench payload), so packed must beat raw decisively.
+        # Real speech packs ~0.6x -> logical rate ~1.7x raw and clears the
+        # bar comfortably.
+        self._use_codec = (
+            self._codec_probes["packed"] > 1.25 * self._codec_probes["raw"]
+        )
+        self._codec_puts_since_probe = 0
+        self._codec_hits += 1
+        self._codec_saved_bytes += batch[h:].nbytes - enc_b["nbytes"]
+        return jnp.concatenate([put_a, dec_b], axis=0)
+
+    def _put_array(self, batch: np.ndarray):
+        """Raw 2-D array placement through the adaptive transfer mode."""
         if batch.nbytes >= self.parallel_put_min_bytes and batch.shape[0] > 1:
             if self._put_mode is None or (
                 self._puts_since_probe >= self.probe_interval
@@ -256,7 +362,84 @@ class EmbeddingEngine:
         else:
             put = jax.device_put(batch, self.device)
         self._last_put = put
-        return put, jax.device_put(lengths.astype(np.int32), self.device)
+        return put
+
+    def _codec_applicable(self, batch: np.ndarray) -> bool:
+        return (
+            self.wire_codec != "off"
+            and batch.dtype == np.int16
+            and batch.nbytes >= self.parallel_put_min_bytes
+            and (self.wire_codec == "on" or jax.default_backend() == "tpu")
+        )
+
+    def _encode_batch(self, batch: np.ndarray):
+        """Host-side wire-codec encode + the skip decision (incompressible
+        batches ship raw). Runs inside the assemble thread pool so the
+        ~40-130 ms C++ pack overlaps the previous batch's wire time
+        instead of serializing the submit loop."""
+        from ..ops import wirecodec
+
+        enc = wirecodec.encode(batch)
+        if enc is None or (
+            enc["nbytes"] > self.wire_codec_max_ratio * batch.nbytes
+        ):
+            self._codec_skips += 1
+            return None
+        return enc
+
+    def _put_packed(self, batch: np.ndarray, enc=None):
+        """Wire-codec path: adaptive-mode transfer of the packed stream +
+        jitted on-device decode back to the exact [B, T] int16 batch.
+        Returns None (-> raw path) for incompressible batches."""
+        from ..ops import wirecodec
+
+        if enc is None:
+            enc = self._encode_batch(batch)
+        if enc is None:
+            return None
+        rows = enc["packed"].reshape(-1, wirecodec.MIN_PACK_WORDS)
+        pdev = self._put_array(rows)  # decode ravels internally
+        meta = jax.device_put(wirecodec.pack_meta(enc), self.device)
+        b, t = enc["shape"]
+        out = wirecodec.decode_call(pdev, meta, b=b, t=t)
+        self._codec_hits += 1
+        self._codec_saved_bytes += batch.nbytes - enc["nbytes"]
+        return out
+
+    def prewarm_codec(self, waves) -> None:
+        """Pre-compile the wire-codec decode executable for the dominant
+        planned batch shape by encoding a REAL sample batch (the decode
+        shape depends on the packed length, which depends on the data).
+        A later batch that lands in a neighboring packed-length bucket
+        pays one (persistently cached) compile."""
+        if self.wire_codec == "off" or not waves:
+            return
+        if self.wire_codec != "on" and jax.default_backend() != "tpu":
+            return
+        from ..ops import wirecodec
+
+        groups: dict[int, list] = {}
+        for w in waves:
+            groups.setdefault(bucket_length(len(w)), []).append(w)
+        blen, grp = max(groups.items(), key=lambda kv: len(kv[1]))
+        bsz = self.batch_size_for(blen)
+        batch = np.zeros((bsz, blen), np.int16)
+        for row in range(bsz):
+            w = np.asarray(grp[row % len(grp)])
+            if w.dtype != np.int16:
+                w = np.rint(w * PCM16_SCALE).astype(np.int16)
+            batch[row, : len(w)] = w
+        enc = wirecodec.encode(batch, pool=self._put_pool)
+        if enc is not None and (
+            enc["nbytes"] <= self.wire_codec_max_ratio * batch.nbytes
+        ):
+            wirecodec.prewarm_decode(
+                enc,
+                packed_shape=(
+                    len(enc["packed"]) // wirecodec.MIN_PACK_WORDS,
+                    wirecodec.MIN_PACK_WORDS,
+                ),
+            )
 
     def _probe_put(self, batch: np.ndarray):
         """Unbiased transfer-mode probe (round-2 advisor finding: timing
@@ -274,7 +457,11 @@ class EmbeddingEngine:
             return self._put_large(batch, self._put_mode or "parallel")
         if self._last_put is not None:
             try:
-                self._last_put.block_until_ready()
+                # true drain: block_until_ready through the relay returns
+                # before the wire finishes (round-2/3 measurements), so a
+                # 1-element readback — which depends on the data — is the
+                # only trustworthy completion signal
+                np.asarray(jnp.ravel(self._last_put)[:1])
             except Exception:  # pragma: no cover - already-deleted buffer
                 pass
         dev = self.device
@@ -287,7 +474,7 @@ class EmbeddingEngine:
             if mode == "single":
                 t0 = time.perf_counter()
                 put = jax.device_put(half, dev)
-                put.block_until_ready()
+                np.asarray(put[:1, :1])  # readback bounds the wire
                 parts_by_mode[mode] = [put]
             else:
                 n = min(8, half.shape[0],
@@ -297,8 +484,10 @@ class EmbeddingEngine:
                 parts = list(self._put_pool.map(
                     lambda r: jax.device_put(r, dev), rows
                 ))
-                for p in parts:
-                    p.block_until_ready()
+                # one readback over a concat bounds every part's transfer
+                np.asarray(jnp.concatenate(
+                    [p[:1, :1] for p in parts], axis=0
+                )[:1, :1])
                 parts_by_mode[mode] = parts
             rate = half.nbytes / max(time.perf_counter() - t0, 1e-9)
             old = self._put_probes.get(mode)
@@ -318,6 +507,13 @@ class EmbeddingEngine:
             "probe_count": self._probe_count,
             "probes_MBps": {
                 k: round(v / 1e6, 1) for k, v in self._put_probes.items()
+            },
+            "codec_hits": self._codec_hits,
+            "codec_skips": self._codec_skips,
+            "codec_saved_MB": round(self._codec_saved_bytes / 1e6, 1),
+            "codec_in_use": self._use_codec,
+            "codec_race_MBps": {
+                k: round(v / 1e6, 1) for k, v in self._codec_probes.items()
             },
         }
 
@@ -654,18 +850,31 @@ class EmbeddingEngine:
             for row in range(len(chunk), bsz):  # pad rows: repeat last
                 batch[row] = batch[len(chunk) - 1]
                 lengths[row] = lengths[len(chunk) - 1]
-            return batch, lengths, chunk_i16
+            enc = False
+            if (
+                chunk_i16
+                and self._codec_applicable(batch)
+                and self._use_codec is not False
+            ):
+                # wire-codec encode here, on the assemble thread: overlaps
+                # the previous batch's wire time (on the submit thread it
+                # serialized the pipeline and ate the codec's win). Once
+                # the raw-vs-packed race settles on raw, stop encoding.
+                enc = self._encode_batch(batch)
+            return batch, lengths, chunk_i16, enc
 
         pending: list[tuple[list[int], object]] = []
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(chunks)))) as ex:
-            for (chunk, bsz, blen), (batch, lengths, is_int16) in zip(
+            for (chunk, bsz, blen), (batch, lengths, is_int16, enc) in zip(
                 chunks, ex.map(assemble, chunks)
             ):
                 key = (bsz, blen, is_int16)
                 with timed("engine.submit", items=len(chunk), nbytes=batch.nbytes):
                     pending.append(
                         (chunk,
-                         self._dispatch(key, params, *self._put(batch, lengths)))
+                         self._dispatch(
+                             key, params, *self._put(batch, lengths, enc)
+                         ))
                     )
 
         self._collect(pending, out, bar)

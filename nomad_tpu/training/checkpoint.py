@@ -86,8 +86,16 @@ class CheckpointManager:
         if self.backend == "orbax":
             import orbax.checkpoint as ocp
 
+            from ..utils.cache import cpu_compile_bypass
+
             ckptr = ocp.PyTreeCheckpointer()
-            ckptr.save(os.path.join(tmp, "tree"), state)
+            # orbax runs host-side (CPU-device) jit programs internally;
+            # keep their executables out of the persistent cache (remote
+            # compile service machine features != this host -> SIGILL
+            # risk on reload; a cached CPU jit_scan from exactly this
+            # path poisoned the round-3 workspace cache)
+            with cpu_compile_bypass():
+                ckptr.save(os.path.join(tmp, "tree"), state)
         else:
             np.savez(os.path.join(tmp, "arrays.npz"), **_flatten(state))
         with open(os.path.join(tmp, "meta.json"), "w") as f:
@@ -136,7 +144,12 @@ class CheckpointManager:
         if self.backend == "orbax" and os.path.isdir(os.path.join(path, "tree")):
             import orbax.checkpoint as ocp
 
-            state = ocp.PyTreeCheckpointer().restore(os.path.join(path, "tree"))
+            from ..utils.cache import cpu_compile_bypass
+
+            with cpu_compile_bypass():  # see save(): orbax CPU jits
+                state = ocp.PyTreeCheckpointer().restore(
+                    os.path.join(path, "tree")
+                )
         else:
             npz = os.path.join(path, "arrays.npz")
             if not os.path.isfile(npz):

@@ -43,6 +43,12 @@ from nomad_tpu.scoring.large_scale import LargeScaleScorer  # noqa: E402
 warm_wire_async()  # overlap the relay's one-time d2h setup with synthesis
 
 
+def _span_stats():
+    from nomad_tpu.utils.profiling import GLOBAL
+
+    return GLOBAL.stats()
+
+
 def synth(n, seconds, seed):
     rng = np.random.default_rng(seed)
     t = np.arange(int(seconds * 16000)) / 16000
@@ -122,6 +128,13 @@ def main():
             if wire_rate else None,
             "put_mode": tstats["mode"],
             "put_probe_MBps": tstats["probes_MBps"],
+            # where the wall went (span registry): submit = assemble+put+
+            # dispatch, collect = grouped readbacks
+            "spans": {
+                k: {"total_s": round(v["total_s"], 1), "count": v["count"]}
+                for k, v in _span_stats().items()
+                if k.startswith("engine.")
+            },
             "backend": jax.default_backend(),
             "n_devices": n_dev,
             "precision": precision,

@@ -1,0 +1,160 @@
+"""Wire codec (ops/wirecodec.py + native packer): lossless roundtrips,
+C++/numpy encoder equivalence, on-device (jit) decoder, and the engine's
+packed transfer path producing bit-identical embeddings."""
+
+import jax
+import numpy as np
+import pytest
+
+from nomad_tpu.ops import wirecodec as wc
+
+rng = np.random.default_rng(0)
+
+
+def _speech_like(b=2, t=163840):
+    tt = np.arange(t) / 16000
+    x = 0.1 * np.sin(2 * np.pi * 100 * tt) * np.clip(
+        np.sin(2 * np.pi * 0.7 * tt), 0, 1
+    ) + 0.001 * rng.standard_normal(tt.shape)
+    return np.round(
+        np.clip(np.stack([x * (1 - 0.1 * i) for i in range(b)]), -0.99, 0.99)
+        * 32768
+    ).astype(np.int16)
+
+
+CASES = {
+    "speech": _speech_like(),
+    "noisy-tone": np.round(np.clip(
+        0.1 * np.sin(2 * np.pi * 97 * np.arange(163840) / 16000)
+        + 0.02 * rng.standard_normal(163840), -0.99, 0.99
+    ) * 32768).astype(np.int16)[None].repeat(3, 0),
+    "random": rng.integers(-32768, 32768, (4, 8192), dtype=np.int16),
+    "zeros": np.zeros((2, 4096), np.int16),
+    "extremes": np.tile(np.array([[-32768, 32767]], np.int16), (1, 2048)),
+    "constant": np.full((3, 4096), -1234, np.int16),
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_roundtrip_exact(name):
+    arr = CASES[name]
+    enc = wc.encode(arr)
+    assert np.array_equal(wc.decode_numpy(enc), arr)
+    # the jit decoder must agree bit-for-bit with the host decoder
+    dec = np.asarray(wc.decode_on_device(enc))
+    assert np.array_equal(dec, arr)
+
+
+def test_native_and_numpy_encoders_identical():
+    from nomad_tpu.io import native as nat
+
+    if nat.get_lib() is None or not hasattr(nat.get_lib(), "nomad_pack_i16"):
+        pytest.skip("native lib unavailable")
+    arr = _speech_like(4)
+    e_nat = wc.encode(arr)
+
+    import nomad_tpu.io.native as NN
+
+    orig = NN.native_pack_i16
+    NN.native_pack_i16 = lambda *a, **k: None
+    try:
+        e_np = wc.encode(arr)
+    finally:
+        NN.native_pack_i16 = orig
+    for k in ("packed", "widths", "offsets", "firsts"):
+        assert np.array_equal(e_nat[k], e_np[k]), k
+
+
+def test_compression_ratios():
+    assert wc.encode(CASES["speech"])["nbytes"] < 0.7 * CASES["speech"].nbytes
+    assert (
+        wc.encode(CASES["noisy-tone"])["nbytes"]
+        < 0.9 * CASES["noisy-tone"].nbytes
+    )
+    # random data must be detected as incompressible by the caller's ratio
+    assert wc.encode(CASES["random"])["nbytes"] > CASES["random"].nbytes
+
+
+def test_pack_bucket_bounded_waste():
+    for n in (1, 5000, 100_000, 1_000_000, 6_600_000):
+        b = wc._pack_bucket(n)
+        assert b >= n
+        if n >= 16 * wc.MIN_PACK_WORDS:  # above the 16 KB-floor regime
+            assert (b - n) / n <= 1.0 / 16 + 1e-9
+
+
+def test_engine_packed_path_bit_identical(rng=np.random.default_rng(3)):
+    """embed_waves through the packed wire path must give bit-identical
+    embeddings to the raw path (decode is exact, model identical)."""
+    import jax.numpy as jnp
+
+    from nomad_tpu.models import NomadModel, Wav2Vec2Config
+    from nomad_tpu.scoring.engine import EmbeddingEngine
+
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    waves = [w for w in _speech_like(6, 8192)]
+
+    raw = EmbeddingEngine(model, params, wire_codec="off")
+    e_raw = raw.embed_waves(waves)
+    packed = EmbeddingEngine(
+        model, params, wire_codec="on", parallel_put_min_bytes=1024
+    )
+    e_packed = packed.embed_waves(waves)
+    np.testing.assert_array_equal(e_raw, e_packed)
+    stats = packed.transfer_stats()
+    assert stats["codec_hits"] >= 1
+    assert stats["codec_saved_MB"] >= 0
+
+
+def test_engine_skips_incompressible():
+    import jax.numpy as jnp
+
+    from nomad_tpu.models import NomadModel, Wav2Vec2Config
+    from nomad_tpu.scoring.engine import EmbeddingEngine
+
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    waves = [
+        rng.integers(-32768, 32768, 8192).astype(np.int16) for _ in range(6)
+    ]
+    eng = EmbeddingEngine(
+        model, params, wire_codec="on", parallel_put_min_bytes=1024
+    )
+    eng.embed_waves(waves)
+    assert eng.transfer_stats()["codec_skips"] >= 1
+    assert eng.transfer_stats()["codec_hits"] == 0
+
+
+def test_codec_race_decides_and_stays_exact(monkeypatch):
+    """wire_codec='auto' races raw vs packed transport on a real batch,
+    records both rates, picks a winner — and embeddings stay bit-identical
+    either way (the probe ships half raw + half decoded-packed)."""
+    import jax.numpy as jnp
+
+    from nomad_tpu.models import NomadModel, Wav2Vec2Config
+    from nomad_tpu.scoring import engine as eng
+
+    monkeypatch.setattr(eng.jax, "default_backend", lambda: "tpu")
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    waves = [w for w in _speech_like(8, 8192)]
+    off = eng.EmbeddingEngine(model, params, wire_codec="off")
+    e_off = off.embed_waves(waves)
+    auto = eng.EmbeddingEngine(
+        model, params, wire_codec="auto", parallel_put_min_bytes=1024
+    )
+    e_auto = auto.embed_waves(waves)
+    np.testing.assert_array_equal(e_off, e_auto)
+    stats = auto.transfer_stats()
+    assert stats["codec_in_use"] in (True, False)
+    assert set(stats["codec_race_MBps"]) == {"raw", "packed"}
