@@ -345,13 +345,20 @@ class EmbeddingEngine:
         # before it ships: the very first race runs on a cold, noisy wire
         # and a one-shot fluke verdict steered an entire bench run packed
         # (round 3, 28 packed ships before the EWMA converged back to raw).
-        won = self._codec_probes["packed"] > 1.25 * self._codec_probes["raw"]
-        self._codec_wins = self._codec_wins + 1 if won else 0
-        self._use_codec = self._codec_wins >= 2
+        self._codec_decide()
         self._codec_puts_since_probe = 0
         self._codec_hits += 1
         self._codec_saved_bytes += batch[h:].nbytes - enc_b["nbytes"]
         return jnp.concatenate([put_a, dec_b], axis=0)
+
+    def _codec_decide(self) -> None:
+        """Update the packed-vs-raw verdict from the race EWMAs (see the
+        hysteresis note in _probe_codec): packed ships only after TWO
+        consecutive race wins at the 1.25x bar, and a single loss reverts
+        to raw immediately."""
+        won = self._codec_probes["packed"] > 1.25 * self._codec_probes["raw"]
+        self._codec_wins = self._codec_wins + 1 if won else 0
+        self._use_codec = self._codec_wins >= 2
 
     def _put_array(self, batch: np.ndarray):
         """Raw 2-D array placement through the adaptive transfer mode."""

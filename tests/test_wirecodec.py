@@ -158,3 +158,31 @@ def test_codec_race_decides_and_stays_exact(monkeypatch):
     stats = auto.transfer_stats()
     assert stats["codec_in_use"] in (True, False)
     assert set(stats["codec_race_MBps"]) == {"raw", "packed"}
+
+
+def test_codec_two_wins_gate():
+    """Packed transport must win TWO consecutive races before it ships
+    (a one-shot cold-wire fluke steered a whole bench run packed), and a
+    single loss reverts to raw."""
+    from nomad_tpu.scoring.engine import EmbeddingEngine
+
+    eng = EmbeddingEngine.__new__(EmbeddingEngine)
+    eng._codec_probes = {}
+    eng._codec_wins = 0
+    eng._use_codec = None
+
+    def race(raw, packed):
+        eng._codec_probes = {"raw": raw, "packed": packed}
+        eng._codec_decide()
+
+    race(10.0, 20.0)  # clear win #1 — not enough yet
+    assert eng._use_codec is False
+    race(10.0, 20.0)  # win #2 — enable
+    assert eng._use_codec is True
+    race(10.0, 11.0)  # below the 1.25x bar — revert immediately
+    assert eng._use_codec is False
+    race(10.0, 12.4)  # 1.24x: still below the bar
+    assert eng._use_codec is False
+    race(10.0, 13.0)
+    race(10.0, 13.0)
+    assert eng._use_codec is True
