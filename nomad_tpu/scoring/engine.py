@@ -178,9 +178,15 @@ class EmbeddingEngine:
     # cold bench probed single at 1.1 MB/s that measured 24 MB/s twenty
     # seconds later). Both modes are probed on the first large batch (half
     # the rows each, blocking on the raw transfers — see _probe_put), then
-    # RE-probed every probe_interval large batches so a stale reading
-    # can't pin the slower mode for the engine's lifetime.
+    # RE-probed so a stale reading can't pin the slower mode for the
+    # engine's lifetime. A probe SERIALIZES the pipeline (its halves block
+    # on readbacks, so the overlapped forward stalls) — re-probe intervals
+    # therefore back off exponentially from probe_interval while verdicts
+    # stay stable (x2 per confirming probe, capped at probe_interval_max)
+    # and reset on any flip. Long runs pay ~zero steady probe cost; regime
+    # changes are still caught within a few dozen batches.
     probe_interval: int = 8
+    probe_interval_max: int = 64
     # Wire codec: lossless delta+bit-packing of int16 batches, decoded
     # on-device (ops/wirecodec.py). The pipeline is wire-bound, so payload
     # bytes are the headline: typical speech packs to ~0.6x, the synthetic
@@ -204,10 +210,12 @@ class EmbeddingEngine:
     _use_codec: Optional[bool] = field(default=None, repr=False)
     _codec_wins: int = field(default=0, repr=False)
     _codec_puts_since_probe: int = field(default=0, repr=False)
+    _codec_interval: int = field(default=0, repr=False)  # 0 -> probe_interval
     _put_mode: Optional[str] = field(default=None, repr=False)
     _put_probes: dict = field(default_factory=dict, repr=False)
     _probe_count: int = field(default=0, repr=False)
     _puts_since_probe: int = field(default=0, repr=False)
+    _put_interval: int = field(default=0, repr=False)  # 0 -> probe_interval
     _last_put: Optional[object] = field(default=None, repr=False)
     _jitted: dict = field(default_factory=dict, repr=False)
     # AOT executables from prewarm: calling these directly (instead of the
@@ -281,11 +289,10 @@ class EmbeddingEngine:
                 use = True
             elif (
                 self._use_codec is None
-                or self._codec_puts_since_probe >= self.probe_interval
+                or self._codec_puts_since_probe
+                >= (self._codec_interval or self.probe_interval)
             ):
-                wave_dev = self._probe_codec(
-                    batch, enc if isinstance(enc, dict) else None
-                )
+                wave_dev = self._probe_codec(batch)
                 use = False  # probe already shipped the batch
             else:
                 use = self._use_codec
@@ -298,7 +305,7 @@ class EmbeddingEngine:
             wave_dev = self._put_array(batch)
         return wave_dev, jax.device_put(lengths.astype(np.int32), self.device)
 
-    def _probe_codec(self, batch: np.ndarray, enc=None):
+    def _probe_codec(self, batch: np.ndarray):
         """Race raw vs packed transport on halves of THIS batch, in
         LOGICAL bytes/s (raw-equivalent payload / wall time, readback
         bounded). The relay compresses raw PCM itself by a varying amount
@@ -355,16 +362,43 @@ class EmbeddingEngine:
         """Update the packed-vs-raw verdict from the race EWMAs (see the
         hysteresis note in _probe_codec): packed ships only after TWO
         consecutive race wins at the 1.25x bar, and a single loss reverts
-        to raw immediately."""
+        to raw immediately. Stable verdicts back the re-race interval off
+        exponentially (races serialize the pipeline); a flip resets it."""
         won = self._codec_probes["packed"] > 1.25 * self._codec_probes["raw"]
         self._codec_wins = self._codec_wins + 1 if won else 0
+        prev = self._use_codec
         self._use_codec = self._codec_wins >= 2
+        self._codec_interval = self._backoff(
+            self._codec_interval, stable=self._use_codec == prev
+        )
+
+    def _backoff(self, current: int, stable: bool) -> int:
+        """Next re-probe interval: double while the verdict is stable
+        (capped at probe_interval_max), reset to probe_interval on a flip.
+        Probes serialize the pipeline, so steady state must not pay them
+        every probe_interval puts forever."""
+        if not stable:
+            return self.probe_interval
+        return min(
+            self.probe_interval_max, 2 * (current or self.probe_interval)
+        )
+
+    def reset_codec_race(self) -> None:
+        """Forget the packed-vs-raw verdict (the race is payload-dependent
+        — speech packs ~0.6x, noise ~1.0x — so a caller switching payload
+        populations should re-race rather than inherit a stale verdict)."""
+        self._use_codec = None
+        self._codec_wins = 0
+        self._codec_probes = {}
+        self._codec_puts_since_probe = 0
+        self._codec_interval = 0
 
     def _put_array(self, batch: np.ndarray):
         """Raw 2-D array placement through the adaptive transfer mode."""
         if batch.nbytes >= self.parallel_put_min_bytes and batch.shape[0] > 1:
             if self._put_mode is None or (
-                self._puts_since_probe >= self.probe_interval
+                self._puts_since_probe
+                >= (self._put_interval or self.probe_interval)
             ):
                 put = self._probe_put(batch)
             else:
@@ -505,7 +539,11 @@ class EmbeddingEngine:
             self._put_probes[mode] = rate if old is None else (
                 ewma * rate + (1.0 - ewma) * old
             )
+        prev = self._put_mode
         self._put_mode = max(self._put_probes, key=self._put_probes.get)
+        self._put_interval = self._backoff(
+            self._put_interval, stable=self._put_mode == prev
+        )
         self._probe_count += 1
         self._puts_since_probe = 0
         ordered = parts_by_mode[order[0]] + parts_by_mode[order[1]]
@@ -865,12 +903,13 @@ class EmbeddingEngine:
             if (
                 chunk_i16
                 and self._codec_applicable(batch)
-                and self._use_codec is not False
+                and (self.wire_codec == "on" or self._use_codec is not False)
             ):
                 # wire-codec encode here, on the assemble thread: overlaps
                 # the previous batch's wire time (on the submit thread it
                 # serialized the pipeline and ate the codec's win). Once
-                # the raw-vs-packed race settles on raw, stop encoding.
+                # the raw-vs-packed race settles on raw, stop encoding
+                # (unless 'on' forces the packed path).
                 enc = self._encode_batch(batch)
             return batch, lengths, chunk_i16, enc
 

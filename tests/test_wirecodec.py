@@ -167,9 +167,12 @@ def test_codec_two_wins_gate():
     from nomad_tpu.scoring.engine import EmbeddingEngine
 
     eng = EmbeddingEngine.__new__(EmbeddingEngine)
+    eng.probe_interval = 8
+    eng.probe_interval_max = 64
     eng._codec_probes = {}
     eng._codec_wins = 0
     eng._use_codec = None
+    eng._codec_interval = 0
 
     def race(raw, packed):
         eng._codec_probes = {"raw": raw, "packed": packed}
@@ -177,12 +180,33 @@ def test_codec_two_wins_gate():
 
     race(10.0, 20.0)  # clear win #1 — not enough yet
     assert eng._use_codec is False
-    race(10.0, 20.0)  # win #2 — enable
+    race(10.0, 20.0)  # win #2 — enable (a verdict flip resets the interval)
     assert eng._use_codec is True
+    assert eng._codec_interval == 8
     race(10.0, 11.0)  # below the 1.25x bar — revert immediately
     assert eng._use_codec is False
-    race(10.0, 12.4)  # 1.24x: still below the bar
+    race(10.0, 12.4)  # 1.24x: still below the bar; verdict stable -> backoff
     assert eng._use_codec is False
+    assert eng._codec_interval == 16
+    race(10.0, 12.4)
+    assert eng._codec_interval == 32
     race(10.0, 13.0)
     race(10.0, 13.0)
     assert eng._use_codec is True
+    assert eng._codec_interval == 8  # flip reset
+
+
+def test_probe_backoff():
+    """Stable probe verdicts double the re-probe interval (capped at
+    probe_interval_max); a flip resets it — probes serialize the pipeline,
+    so steady state must not pay them every probe_interval puts forever."""
+    from nomad_tpu.scoring.engine import EmbeddingEngine
+
+    eng = EmbeddingEngine.__new__(EmbeddingEngine)
+    eng.probe_interval = 8
+    eng.probe_interval_max = 64
+    cur, seen = 0, []
+    for stable in (True, True, True, True, False, True):
+        cur = eng._backoff(cur, stable=stable)
+        seen.append(cur)
+    assert seen == [16, 32, 64, 64, 8, 16]
