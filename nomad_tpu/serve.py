@@ -164,13 +164,20 @@ def main(argv=None):
         "~1 KB/entry)",
     )
     args = ap.parse_args(argv)
+    # The protocol stream must carry ONLY JSON responses, but the API keeps
+    # the reference's stdout banners ("NOMAD running on: …", the
+    # per-predict embedding banners — api.py:111,234-236 / reference
+    # nomad.py:49,102-105). Divert sys.stdout to stderr for the server's
+    # lifetime and write responses to the real stdout.
+    real_out = sys.stdout
+    sys.stdout = sys.stderr
     server = NomadServer(model=args.model, cache=not args.no_cache,
                          cache_size=args.cache_size)
     if args.warm is not None:
         durations = tuple(args.warm) or (10.0,)
         print(json.dumps({"warmed_s": server.warmup(durations)}),
               file=sys.stderr)
-    server.run()
+    server.run(outfile=real_out)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Serving-mode benchmark: request latency through the persistent
+JSON-lines service (nomad_tpu/serve.py) on the real chip.
+
+The reference has no serving mode — its CLI reloads ~400 MB and
+recompiles per invocation (reference nomad.py:36-80), so its per-request
+floor IS its cold start. This measures what the warm service delivers:
+
+  * score_cold_s    — first `score` request (embeds NMR pool + deg files)
+  * score_warm_s    — same request again (embedding cache: no forwards)
+  * score_new_file_s— one NEW deg file against the cached NMR pool
+  * embed_one_s     — single-file `embed` request (batch-1 forward + wire)
+  * ping_ms         — protocol round trip without any model work
+
+Writes SERVE_BENCH.json. Run: python scripts/serve_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def synth(seconds: float, seed: int, sr: int = 16000) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    f0 = 90.0 + 60.0 * rng.random()
+    x = 0.15 * np.sin(2 * np.pi * f0 * t) * np.clip(
+        np.sin(2 * np.pi * 0.8 * t), 0, 1
+    ) + 0.01 * rng.standard_normal(t.shape)
+    return np.clip(x, -0.99, 0.99).astype(np.float32)
+
+
+def request(proc, req: dict) -> tuple[dict, float]:
+    t0 = time.perf_counter()
+    proc.stdin.write(json.dumps(req) + "\n")
+    proc.stdin.flush()
+    line = proc.stdout.readline()
+    dt = time.perf_counter() - t0
+    return json.loads(line), dt
+
+
+def main():
+    from nomad_tpu.io import write_wav
+
+    td = tempfile.mkdtemp(prefix="serve_bench_")
+    nmr, deg = os.path.join(td, "nmr"), os.path.join(td, "deg")
+    os.makedirs(nmr), os.makedirs(deg)
+    for i in range(2):
+        write_wav(os.path.join(nmr, f"ref{i}.wav"), synth(10.0, i)[None],
+                  16000, bits=16)
+    for i in range(8):
+        write_wav(os.path.join(deg, f"deg{i}.wav"), synth(10.0, 10 + i)[None],
+                  16000, bits=16)
+    newfile = os.path.join(td, "late.wav")
+    write_wav(newfile, synth(10.0, 99)[None], 16000, bits=16)
+
+    t_start = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "nomad_tpu.serve", "--warm", "10"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, cwd=REPO,
+    )
+    try:
+        _, ping1 = request(proc, {"op": "ping"})  # blocks until init+warm done
+        startup_s = time.time() - t_start
+        _, ping2 = request(proc, {"op": "ping"})
+
+        _, cold = request(proc, {"op": "score", "nmr": nmr, "deg": deg,
+                                 "results_path": None})
+        _, warm = request(proc, {"op": "score", "nmr": nmr, "deg": deg,
+                                 "results_path": None})
+        # one new file against the warm NMR pool: the realistic
+        # "score this incoming file" serving latency
+        write_wav(os.path.join(deg, "deg8.wav"),
+                  np.asarray(np.clip(synth(10.0, 200), -0.99, 0.99))[None],
+                  16000, bits=16)
+        _, newf = request(proc, {"op": "score", "nmr": nmr, "deg": deg,
+                                 "results_path": None})
+        _, embed1 = request(proc, {"op": "embed", "paths": [newfile]})
+        stats, _ = request(proc, {"op": "stats"})
+        request(proc, {"op": "shutdown"})
+    finally:
+        try:
+            proc.stdin.close()
+        except Exception:
+            pass
+        proc.wait(timeout=60)
+
+    result = {
+        "metric": "serve_request_latency",
+        "detail": {
+            "startup_with_warm_s": round(startup_s, 2),
+            "ping_ms": round(ping2 * 1e3, 1),
+            "score_cold_s": round(cold, 2),
+            "score_warm_s": round(warm, 3),
+            "score_new_file_s": round(newf, 3),
+            "embed_one_s": round(embed1, 3),
+            "n_nmr": 2,
+            "n_deg": 8,
+            "embed_cache": stats.get("embed_cache"),
+            # the reference's equivalent of every request is its full cold
+            # start (model load + per-file forward loop); see BASELINE.md
+        },
+    }
+    out = os.path.join(REPO, "SERVE_BENCH.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,6 +2,7 @@
 
 import io
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -189,3 +190,41 @@ def test_server_cache_is_lru_and_stats_report_evictions(tmp_path, rng):
     assert stats["enabled"] and stats["entries"] <= 4
     assert stats["maxsize"] == 4
     assert stats["evictions"] == 10 - 4
+
+
+def test_protocol_stream_carries_only_json(tmp_path):
+    """The subprocess entry point must keep stdout JSON-clean: the API keeps
+    the reference's stdout banners (api.py:111,234-236 / reference
+    nomad.py:49,102-105), so serve.main diverts them to stderr — a client
+    must be able to json-parse EVERY stdout line, including during a score
+    request (which prints two embedding banners)."""
+    import subprocess
+    import sys as _sys
+
+    nmr, deg = tmp_path / "nmr", tmp_path / "deg"
+    nmr.mkdir(), deg.mkdir()
+    r = np.random.default_rng(0)
+    for d, n in ((nmr, 2), (deg, 2)):
+        for i in range(n):
+            write_wav(
+                str(d / f"f{i}.wav"),
+                (0.05 * r.standard_normal(1600)).astype(np.float32)[None],
+                16000, bits=16,
+            )
+    reqs = [
+        {"op": "ping"},
+        {"op": "score", "nmr": str(nmr), "deg": str(deg),
+         "results_path": None},
+        {"op": "shutdown"},
+    ]
+    proc = subprocess.run(
+        [_sys.executable, "-m", "nomad_tpu.serve", "--model", "tiny"],
+        input="\n".join(json.dumps(q) for q in reqs) + "\n",
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == len(reqs), proc.stdout
+    resps = [json.loads(l) for l in lines]  # raises if a banner leaked
+    assert all(rsp["ok"] for rsp in resps)
+    assert "NOMAD running on" in proc.stderr
