@@ -143,7 +143,7 @@ def main():
     # CPU baseline first (torch must not see the TPU; it is CPU-only anyway)
     baseline = measure_cpu_baseline(seconds)
 
-    from nomad_tpu.utils.cache import cpu_compile_bypass, enable_compilation_cache
+    from nomad_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 

@@ -52,18 +52,19 @@ PCM16_SCALE = 32768.0
 
 
 _wire_warmed = False
+_wire_thread = None
 
 
 def warm_wire_async() -> None:
     """Pay the relay's one-time device->host channel setup on a background
     thread. Round-3 measurement: the FIRST d2h readback of a process costs
-    36-267 s through the axon relay (subsequent ones are ~0.06 s), which
+    36-430 s through the axon relay (subsequent ones are ~0.06 s), which
     used to land inside whichever timed phase did the first readback
     (bench prewarm, or a CLI user's first score). A 1 KB round trip kicked
     off at engine construction overlaps that fixed cost with param
     transfer and shape compiles. No-op on CPU backends and when already
     warmed."""
-    global _wire_warmed
+    global _wire_warmed, _wire_thread
     if _wire_warmed or jax.default_backend() != "tpu":
         return
     _wire_warmed = True
@@ -76,7 +77,21 @@ def warm_wire_async() -> None:
 
     import threading
 
-    threading.Thread(target=go, daemon=True, name="nomad-wire-warm").start()
+    _wire_thread = threading.Thread(
+        target=go, daemon=True, name="nomad-wire-warm"
+    )
+    _wire_thread.start()
+
+
+def warm_wire_join(timeout: Optional[float] = None) -> None:
+    """Block until the background wire warm completes (starting it if
+    needed). A SERVER calls this from its warmup so readiness means the
+    data path is live — otherwise the one-time channel setup (minutes on
+    bad relay weather) lands inside the first request's latency instead
+    of startup."""
+    warm_wire_async()
+    if _wire_thread is not None:
+        _wire_thread.join(timeout)
 
 
 class EmbeddingLRU:
@@ -163,6 +178,15 @@ class EmbeddingEngine:
     # that was 16-bit PCM to begin with — orders of magnitude inside the
     # score budget. Set False for bit-exact f32 transfer.
     quantize_transfer: bool = True
+    # Serve-path compile avoidance: run a never-compiled batch shape
+    # through the smallest LARGER already-compiled executable by padding
+    # rows, instead of paying a synchronous compile. Through the remote
+    # compile service a fresh shape costs 10-300 s while even a fully
+    # padded 96-row forward costs <0.5 s, so a warmed server answers any
+    # request count at compute cost (SERVE_BENCH r3: a 10-file score
+    # request cost 29.5 s because its (2,·)/(8,·) shapes cold-compiled).
+    # The padding waste is bounded by one full-batch forward per chunk.
+    pad_to_compiled: bool = True
     # Optional file-embedding cache (set to {} to enable; None = off, the
     # reference-faithful default — `nomad.py:102-105` recomputes the NMR
     # pool every predict). Keyed by (abspath, trim, mtime_ns, size) so an
@@ -725,15 +749,42 @@ class EmbeddingEngine:
             left -= min(b, left)
         return sizes
 
+    def _remap_to_compiled(self, keys: list) -> list:
+        """Rewrite planned (bsz, blen, int16) batch keys onto shapes that
+        are already compiled (or will compile this call anyway): a chunk
+        whose exact shape was never compiled pads up to the smallest
+        covering executable instead of triggering a fresh compile. See the
+        ``pad_to_compiled`` field note for the cost model. Shapes planned
+        in this same call count as available — a tail then rides its
+        bucket's steady-state shape and the call compiles ONE shape per
+        bucket, not two."""
+        avail = set(self._compiled_keys) | set(self._aot) | set(keys)
+        out = []
+        for bsz, blen, i16 in keys:
+            key = (bsz, blen, i16)
+            if key not in self._compiled_keys and key not in self._aot:
+                covers = [
+                    k[0] for k in avail
+                    if k[1] == blen and k[2] == i16 and k[0] > bsz
+                ]
+                if covers:
+                    bsz = min(covers)
+            out.append((bsz, blen, i16))
+        return out
+
     def prewarm(self, durations=(10.0,), counts=None, int16: bool = True,
-                single: bool = True) -> None:
+                single: bool = True, ladder: bool = False) -> None:
         """Pre-compile the bucket shapes for the given file durations:
         the full steady-state batch per bucket, plus (optionally) the
         batch-1 shape single-file requests hit. When ``counts`` gives the
         planned number of files per duration, every batch shape of that
         run — including the tail — is compiled, so the first real pass
-        compiles nothing. All compiles run concurrently (see
-        _prewarm_keys)."""
+        compiles nothing. ``ladder`` additionally compiles small/medium
+        tail shapes (8- and 32-row grid sizes) so a warmed SERVER answers
+        any request count with minimal padding waste (pad_to_compiled
+        rounds uncompiled request shapes up to the nearest rung). All
+        compiles run concurrently (see _prewarm_keys), so a ladder costs
+        ~the slowest compile, not the sum."""
         keys = []
         for j, sec in enumerate(durations):
             blen = bucket_length(int(sec * 16000))
@@ -745,6 +796,11 @@ class EmbeddingEngine:
                 keys.append((self.batch_size_for(blen), blen, int16))
             if single:
                 keys.append((self.batch_size_for(blen, remaining=1), blen, int16))
+            if ladder:
+                for r in (8, 32):
+                    keys.append(
+                        (self.batch_size_for(blen, remaining=r), blen, int16)
+                    )
         params_future = self._params_async()  # overlap transfer with compiles
         self._prewarm_keys(dict.fromkeys(keys))
         params_future.result()
@@ -869,6 +925,16 @@ class EmbeddingEngine:
         # compiles twice) and by assemble itself.
         with ThreadPoolExecutor(max_workers=8) as ex:
             i16able = list(ex.map(self._wave_i16able, waves))
+
+        if self.pad_to_compiled:
+            remapped = self._remap_to_compiled([
+                (bsz, blen, all(i16able[i] for i in chunk))
+                for chunk, bsz, blen in chunks
+            ])
+            chunks = [
+                (chunk, k[0], blen)
+                for (chunk, _b, blen), k in zip(chunks, remapped)
+            ]
 
         # compile every planned shape concurrently before the sequential
         # submit loop
@@ -1051,76 +1117,88 @@ class EmbeddingEngine:
 
         params_future = self._params_async()
 
-        # parallel-compile all planned shapes first (predicted transfer
-        # dtype: raw-i16 loader, or the quantize-to-PCM16 path); the param
-        # transfer streams underneath
-        plan_keys = []
+        # plan every chunk, then (pad_to_compiled) remap never-compiled
+        # batch shapes onto covering compiled executables — the serve-path
+        # compile-avoidance documented on the field
+        plan_chunks = []  # ((blen, sr, i16), chunk_indices, bsz, pred_i16)
         for (blen, sr, i16), idxs in sorted(groups.items()):
             pred_i16 = i16 or self.quantize_transfer
-            for bsz in self._chunk_batches(len(idxs), blen):
-                plan_keys.append((bsz, blen, pred_i16))
-        self._prewarm_keys(dict.fromkeys(plan_keys))
-        params = params_future.result()
-
-        out: dict[int, np.ndarray] = {}
-        pending = []
-        for (blen, sr, i16), idxs in sorted(groups.items()):
             start = 0
             for bsz in self._chunk_batches(len(idxs), blen):
                 chunk = idxs[start : start + min(bsz, len(idxs) - start)]
                 start += len(chunk)
-                with timed("engine.native_ingest", items=len(chunk)):
-                    if i16:
-                        res = native.native_load_batch_i16(
-                            [paths[i] for i in chunk],
-                            pad_len=blen,
-                            target_sr=16000,
-                            trim_sec=trim_sec,
-                            num_threads=self.io_threads,
-                        )
-                    else:
-                        res = native.native_load_batch(
-                            [paths[i] for i in chunk],
-                            pad_len=blen,
-                            target_sr=16000,
-                            trim_sec=trim_sec,
-                            expect_sr=sr if sr != 16000 else 0,
-                            num_threads=self.io_threads,
-                            quantize_i16=self.quantize_transfer,
-                        )
-                if res is None:
-                    return None
-                batch_part, lengths_part, errs = res
-                if len(chunk) < bsz:
-                    batch = np.zeros((bsz, blen), batch_part.dtype)
-                    lengths = np.empty((bsz,), np.int64)
-                    batch[: len(chunk)] = batch_part
-                    lengths[: len(chunk)] = lengths_part
-                    batch[len(chunk) :] = batch_part[-1]
-                    lengths[len(chunk) :] = lengths_part[-1]
-                else:
-                    batch, lengths = batch_part, lengths_part
-                # native failures (exotic formats/races): python fallback
-                for row, i in enumerate(chunk):
-                    if errs[row] != 0:
-                        w = load_processing(paths[i], trim=trim)[0][:blen]
-                        if batch.dtype == np.int16:
-                            w = np.clip(
-                                np.round(w * PCM16_SCALE), -32768, 32767
-                            ).astype(np.int16)
-                        batch[row, : len(w)] = w
-                        batch[row, len(w) :] = 0
-                        lengths[row] = len(w)
-                if batch.dtype == np.int16:
-                    is_int16 = True
-                else:
-                    batch, is_int16 = self._maybe_int16(batch)
-                pending.append((
-                    chunk,
-                    self._dispatch((bsz, blen, is_int16), params,
-                                   *self._put(batch, lengths)),
-                ))
+                plan_chunks.append(((blen, sr, i16), chunk, bsz, pred_i16))
+        if self.pad_to_compiled:
+            remapped = self._remap_to_compiled(
+                [(bsz, g[0], p16) for g, _c, bsz, p16 in plan_chunks]
+            )
+            plan_chunks = [
+                (g, c, k[0], p16)
+                for (g, c, _b, p16), k in zip(plan_chunks, remapped)
+            ]
 
+        # parallel-compile all planned shapes first (predicted transfer
+        # dtype: raw-i16 loader, or the quantize-to-PCM16 path); the param
+        # transfer streams underneath
+        self._prewarm_keys(dict.fromkeys(
+            (bsz, g[0], p16) for g, _c, bsz, p16 in plan_chunks
+        ))
+        params = params_future.result()
+
+        out: dict[int, np.ndarray] = {}
+        pending = []
+        for (blen, sr, i16), chunk, bsz, _pred_i16 in plan_chunks:
+            with timed("engine.native_ingest", items=len(chunk)):
+                if i16:
+                    res = native.native_load_batch_i16(
+                        [paths[i] for i in chunk],
+                        pad_len=blen,
+                        target_sr=16000,
+                        trim_sec=trim_sec,
+                        num_threads=self.io_threads,
+                    )
+                else:
+                    res = native.native_load_batch(
+                        [paths[i] for i in chunk],
+                        pad_len=blen,
+                        target_sr=16000,
+                        trim_sec=trim_sec,
+                        expect_sr=sr if sr != 16000 else 0,
+                        num_threads=self.io_threads,
+                        quantize_i16=self.quantize_transfer,
+                    )
+            if res is None:
+                return None
+            batch_part, lengths_part, errs = res
+            if len(chunk) < bsz:
+                batch = np.zeros((bsz, blen), batch_part.dtype)
+                lengths = np.empty((bsz,), np.int64)
+                batch[: len(chunk)] = batch_part
+                lengths[: len(chunk)] = lengths_part
+                batch[len(chunk) :] = batch_part[-1]
+                lengths[len(chunk) :] = lengths_part[-1]
+            else:
+                batch, lengths = batch_part, lengths_part
+            # native failures (exotic formats/races): python fallback
+            for row, i in enumerate(chunk):
+                if errs[row] != 0:
+                    w = load_processing(paths[i], trim=trim)[0][:blen]
+                    if batch.dtype == np.int16:
+                        w = np.clip(
+                            np.round(w * PCM16_SCALE), -32768, 32767
+                        ).astype(np.int16)
+                    batch[row, : len(w)] = w
+                    batch[row, len(w) :] = 0
+                    lengths[row] = len(w)
+            if batch.dtype == np.int16:
+                is_int16 = True
+            else:
+                batch, is_int16 = self._maybe_int16(batch)
+            pending.append((
+                chunk,
+                self._dispatch((bsz, blen, is_int16), params,
+                               *self._put(batch, lengths)),
+            ))
         self._collect(pending, out)
         return np.stack([out[i] for i in range(len(paths))])
 

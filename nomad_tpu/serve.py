@@ -55,13 +55,21 @@ class NomadServer:
     def warmup(self, seconds=(10.0,)) -> dict:
         """Pre-compile (or cache-load) the standard bucket shapes so the
         first real request doesn't pay compile + param-transfer latency.
-        All durations' shapes (full batch + batch-1) compile CONCURRENTLY —
-        the remote compile service overlaps compiles, so k shapes cost
-        ~the slowest one; with the persistent cache it's seconds."""
+        All durations' shapes (full batch + a 1/8/32 tail ladder — with
+        pad_to_compiled, ANY request count then runs with zero compiles
+        and minimal padding) compile CONCURRENTLY — the remote compile
+        service overlaps compiles, so k shapes cost ~the slowest one;
+        with the persistent cache it's seconds."""
         import time
 
         t0 = time.time()
-        self.nomad.engine.prewarm(tuple(seconds))
+        self.nomad.engine.prewarm(tuple(seconds), ladder=True)
+        # don't report ready before the data path is live: the relay's
+        # one-time d2h channel setup (36-430 s measured on bad weather)
+        # must land in startup, not in the first request's latency
+        from .scoring.engine import warm_wire_join
+
+        warm_wire_join()
         total = round(time.time() - t0, 2)
         return {str(s): total for s in seconds} | {"total": total}
 

@@ -64,6 +64,8 @@ def main():
                   16000, bits=16)
     newfile = os.path.join(td, "late.wav")
     write_wav(newfile, synth(10.0, 99)[None], 16000, bits=16)
+    newfile2 = os.path.join(td, "late2.wav")
+    write_wav(newfile2, synth(10.0, 101)[None], 16000, bits=16)
 
     t_start = time.time()
     proc = subprocess.Popen(
@@ -76,6 +78,13 @@ def main():
         startup_s = time.time() - t_start
         _, ping2 = request(proc, {"op": "ping"})
 
+        # absorb the relay's one-time d2h channel setup HERE (a background
+        # warm starts at engine construction, but on slow-wire days it can
+        # still be mid-setup — measured 36-267 s, worse on bad weather).
+        # Without this probe the cost lands inside score_cold and the
+        # artifact conflates wire weather with serving logic.
+        _, first_touch = request(proc, {"op": "embed", "paths": [newfile]})
+
         _, cold = request(proc, {"op": "score", "nmr": nmr, "deg": deg,
                                  "results_path": None})
         _, warm = request(proc, {"op": "score", "nmr": nmr, "deg": deg,
@@ -87,7 +96,7 @@ def main():
                   16000, bits=16)
         _, newf = request(proc, {"op": "score", "nmr": nmr, "deg": deg,
                                  "results_path": None})
-        _, embed1 = request(proc, {"op": "embed", "paths": [newfile]})
+        _, embed1 = request(proc, {"op": "embed", "paths": [newfile2]})
         stats, _ = request(proc, {"op": "stats"})
         request(proc, {"op": "shutdown"})
     finally:
@@ -102,6 +111,9 @@ def main():
         "detail": {
             "startup_with_warm_s": round(startup_s, 2),
             "ping_ms": round(ping2 * 1e3, 1),
+            # one-time d2h channel setup + first batch-1 forward; relay
+            # weather, not serving logic (36-267+ s measured spread)
+            "first_touch_s": round(first_touch, 2),
             "score_cold_s": round(cold, 2),
             "score_warm_s": round(warm, 3),
             "score_new_file_s": round(newf, 3),
@@ -109,6 +121,12 @@ def main():
             "n_nmr": 2,
             "n_deg": 8,
             "embed_cache": stats.get("embed_cache"),
+            # engine span totals (submit/collect/native_ingest): shows
+            # where request wall time went, separating wire from compute
+            "spans": {
+                k: v for k, v in (stats.get("stats") or {}).items()
+                if k.startswith("engine.")
+            },
             # the reference's equivalent of every request is its full cold
             # start (model load + per-file forward loop); see BASELINE.md
         },

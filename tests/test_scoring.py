@@ -362,3 +362,75 @@ def test_transfer_mode_reprobes_periodically(tiny_setup, rng):
     stats = engine.transfer_stats()
     assert stats["probe_count"] >= 2
     assert set(stats["probes_MBps"]) == {"single", "parallel"}
+
+
+def test_remap_to_compiled_logic():
+    """pad_to_compiled planning: a never-compiled shape pads up to the
+    SMALLEST covering compiled shape; shapes planned in the same call
+    count as available (a tail rides its bucket's full batch, so one
+    shape compiles per bucket); compiled/exact shapes pass through; a
+    shape with no cover keeps its size (compiling small is cheaper than
+    compiling big)."""
+    e = EmbeddingEngine.__new__(EmbeddingEngine)
+    blen = 4096
+    e._compiled_keys = {(96, blen, True), (8, blen, True)}
+    e._aot = {}
+    # 2 -> 8 (smallest cover), 8 stays (compiled), 128 stays (no cover)
+    assert e._remap_to_compiled(
+        [(2, blen, True), (8, blen, True), (128, blen, True)]
+    ) == [(8, blen, True), (8, blen, True), (128, blen, True)]
+    # int16-ness and bucket must match for a cover
+    assert e._remap_to_compiled([(2, blen, False)]) == [(2, blen, False)]
+    assert e._remap_to_compiled([(2, 8192, True)]) == [(2, 8192, True)]
+    # nothing compiled: the tail rides the full batch planned in-call
+    e._compiled_keys = set()
+    assert e._remap_to_compiled(
+        [(96, blen, True), (2, blen, True)]
+    ) == [(96, blen, True), (96, blen, True)]
+    # lone small request with nothing compiled: keep the small shape
+    assert e._remap_to_compiled([(2, blen, True)]) == [(2, blen, True)]
+
+
+def test_pad_to_compiled_reuses_covering_shape(tiny_setup, rng):
+    """A warmed engine answers a small request through the covering
+    compiled executable: zero new compiles, identical embeddings (padded
+    rows are dropped)."""
+    cfg, _oracle, model, params = tiny_setup
+    baseline = EmbeddingEngine(model, params, pad_to_compiled=False)
+    waves = [
+        (0.1 * rng.standard_normal(3500 + 100 * i)).astype(np.float32)
+        for i in range(2)
+    ]
+    ref = baseline.embed_waves(waves)
+
+    warm = EmbeddingEngine(model, params)
+    warm.prewarm((0.25,), int16=False, single=False)  # full batch only
+    compiled_before = set(warm._compiled_keys) | set(warm._aot)
+    out = warm.embed_waves(waves)
+    compiled_after = set(warm._compiled_keys) | set(warm._aot)
+    assert compiled_after == compiled_before  # no new shapes
+    np.testing.assert_allclose(ref, out, atol=1e-6)
+
+
+def test_pad_to_compiled_files_path(tiny_setup, tmp_path, rng):
+    """The native embed_files plan honors pad_to_compiled too: after a
+    ladder prewarm, a small file request adds no compiled shapes and
+    matches the unpadded engine bit-for-bit."""
+    cfg, _oracle, model, params = tiny_setup
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"w{i}.wav"
+        write_wav(
+            str(p),
+            (0.1 * rng.standard_normal(3600 + 50 * i)).astype(np.float32)[None],
+            16000, bits=16,
+        )
+        paths.append(str(p))
+    ref = EmbeddingEngine(model, params, pad_to_compiled=False).embed_files(paths)
+
+    warm = EmbeddingEngine(model, params)
+    warm.prewarm((0.25,), ladder=True)
+    compiled_before = set(warm._compiled_keys) | set(warm._aot)
+    out = warm.embed_files(paths)
+    assert (set(warm._compiled_keys) | set(warm._aot)) == compiled_before
+    np.testing.assert_array_equal(ref, out)
