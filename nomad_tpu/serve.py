@@ -179,13 +179,16 @@ def main(argv=None):
     # lifetime and write responses to the real stdout.
     real_out = sys.stdout
     sys.stdout = sys.stderr
-    server = NomadServer(model=args.model, cache=not args.no_cache,
-                         cache_size=args.cache_size)
-    if args.warm is not None:
-        durations = tuple(args.warm) or (10.0,)
-        print(json.dumps({"warmed_s": server.warmup(durations)}),
-              file=sys.stderr)
-    server.run(outfile=real_out)
+    try:
+        server = NomadServer(model=args.model, cache=not args.no_cache,
+                             cache_size=args.cache_size)
+        if args.warm is not None:
+            durations = tuple(args.warm) or (10.0,)
+            print(json.dumps({"warmed_s": server.warmup(durations)}),
+                  file=sys.stderr)
+        server.run(outfile=real_out)
+    finally:
+        sys.stdout = real_out
 
 
 if __name__ == "__main__":

@@ -128,6 +128,11 @@ def main():
             if wire_rate else None,
             "put_mode": tstats["mode"],
             "put_probe_MBps": tstats["probes_MBps"],
+            # lossless wire codec: whether the raw-vs-packed race settled
+            # on packed for this session's weather, and the bytes it saved
+            "codec_in_use": tstats["codec_in_use"],
+            "codec_race_MBps": tstats["codec_race_MBps"],
+            "codec_saved_MB": tstats["codec_saved_MB"],
             # where the wall went (span registry): submit = assemble+put+
             # dispatch, collect = grouped readbacks
             "spans": {

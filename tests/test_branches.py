@@ -122,8 +122,10 @@ def test_serve_main_argparse(monkeypatch, tiny):
         created["cache_size"] = cache_size
 
         class S:
-            def run(self):
-                pass
+            def run(self, infile=None, outfile=None):
+                # main passes the real stdout explicitly (protocol stream
+                # stays JSON-clean while sys.stdout is diverted to stderr)
+                created["outfile"] = outfile
 
         return S()
 
