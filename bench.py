@@ -52,20 +52,11 @@ def synth_waves(n: int, seconds: float, sr: int = 16000, seed: int = 0):
 def synth_speech_waves(n: int, seconds: float, sr: int = 16000, seed: int = 5):
     """Speech-like payload: enveloped harmonic stack + low noise floor —
     the spectral/temporal structure the wire codec sees in real speech
-    (packs ~0.55-0.6x, vs ~0.84x for the headline's tone+noise)."""
-    rng = np.random.default_rng(seed)
-    t = np.arange(int(seconds * sr)) / sr
-    out = []
-    for i in range(n):
-        f0 = 90.0 + 60.0 * rng.random()
-        env = np.clip(np.sin(2 * np.pi * (0.6 + 0.8 * rng.random()) * t), 0, 1)
-        x = env * (
-            0.12 * np.sin(2 * np.pi * f0 * t)
-            + 0.05 * np.sin(2 * np.pi * 2.0 * f0 * t + 1.3)
-            + 0.02 * np.sin(2 * np.pi * 3.1 * f0 * t + 0.4)
-        ) + 0.004 * rng.standard_normal(t.shape)
-        out.append(np.round(np.clip(x, -0.99, 0.99) * 32768.0).astype(np.int16))
-    return out
+    (packs ~0.55-0.7x, vs ~0.84x for the headline's tone+noise). Shared
+    definition so every artifact measures the same payload class."""
+    from nomad_tpu.utils.synth import speech_like
+
+    return speech_like(n, seconds, sr=sr, seed=seed)
 
 
 def measure_cpu_baseline(seconds: float, n_files: int = 3) -> float:

@@ -228,6 +228,19 @@ def _fused_qkv(x, wq, bq_, wk, bk_, wv, bv_, wo, bo_, key_mask, heads,
                            heads, mode, interpret)
 
 
+def _block_q_for(t_pad: int) -> int:
+    """Largest multiple of 128 that divides t_pad (<= 512): the grid is
+    exactly t_pad // block_q programs, so every query row is covered. A
+    plain min(512, t_pad) truncated the grid for t_pad in {640, 768, 896}
+    (e.g. ~13-18 s buckets, T' ~560-900 frames) and silently left rows
+    >= 512 uncomputed — NaN embeddings for those frames."""
+    m = t_pad // 128
+    for g in (4, 3, 2, 1):
+        if m % g == 0:
+            return 128 * g
+    raise AssertionError(f"t_pad {t_pad} not a multiple of 128")
+
+
 def _fused_fwd_impl(x, wq, bq_, wk, bk_, wv, bv_, wo, bo_, key_mask, heads,
                     mode, interpret):
     b, t, dm = x.shape
@@ -238,7 +251,7 @@ def _fused_fwd_impl(x, wq, bq_, wk, bk_, wv, bv_, wo, bo_, key_mask, heads,
         lengths = jnp.full((b,), t, jnp.int32)
     xp = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0))) if t_pad != t else x
     hd = dm // heads
-    block_q = min(512, t_pad)
+    block_q = _block_q_for(t_pad)
 
     def per_head_w(w):  # [D, D] -> [H, D, hd] (head-major column slices)
         return w.reshape(dm, heads, hd).transpose(1, 0, 2)

@@ -338,27 +338,60 @@ class EmbeddingEngine:
         the day's winner (same philosophy as the single/parallel stream
         probe)."""
         h = batch.shape[0] // 2
+        # NOTE: the assemble-thread encode of the FULL batch (the `enc`
+        # the caller may hold) is not reusable here — the race ships the
+        # tail HALF, and slicing the bucketed packed stream would need
+        # offset rebasing + re-padding. Races back off exponentially, so
+        # the ~50-130 ms re-encode per race is accepted.
         enc_b = self._encode_batch(batch[h:]) if h >= 1 else None
         if enc_b is None:
+            # incompressible (or a 1-row batch the race can't halve): ship
+            # raw. The win streak resets too — otherwise a stale streak of
+            # >=2 lets a SINGLE later race win re-enable packed, bypassing
+            # the two-consecutive-wins gate.
             self._use_codec = False
+            self._codec_wins = 0
             self._codec_puts_since_probe = 0
-            return None  # incompressible: raw path handles the batch
+            return None
         from ..ops import wirecodec
 
         ewma = 0.5
+        # Both halves ride the SAME fixed transport (the decided put mode;
+        # 'single' before any decision) with a drain first — routing the
+        # raw half through _put_array let a nested _probe_put fire inside
+        # the race, inflating the raw half's wall time with probe overhead
+        # and biasing the race toward packed.
+        mode = self._put_mode or "single"
+        if self._last_put is not None:
+            try:
+                np.asarray(jnp.ravel(self._last_put)[:1])
+            except Exception:  # pragma: no cover - already-deleted buffer
+                pass
         # raw half
         t0 = time.perf_counter()
-        put_a = self._put_array(batch[:h])
+        put_a = self._put_large(batch[:h], mode)
         np.asarray(put_a[:1, :1])
         rate_raw = batch[:h].nbytes / max(time.perf_counter() - t0, 1e-9)
-        # packed half (decode included in the shipped result, excluded
-        # from the wire timing)
+        # packed half: wire time of the stream, PLUS the path's fixed
+        # per-batch RPC overhead. Shipping packed costs two extra relay
+        # round trips per batch (the meta device_put + the decode
+        # dispatch) that a bandwidth-only race cannot see — on a high-
+        # latency session those fixed costs dominate (measured: packed won
+        # the byte race 1.06x while losing end-to-end 2.8x at ~1 s RTT).
+        # The meta put + its 1-element readback below is itself ~2 RTTs,
+        # so its wall time is the right estimator for the overhead; fold
+        # it into the packed half's effective rate.
         rows = enc_b["packed"].reshape(-1, wirecodec.MIN_PACK_WORDS)
         t0 = time.perf_counter()
-        put_p = self._put_array(rows)
+        put_p = self._put_large(rows, mode)
         np.asarray(put_p[:1, :1])
-        rate_packed = batch[h:].nbytes / max(time.perf_counter() - t0, 1e-9)
+        t_wire = time.perf_counter() - t0
+        self._last_put = put_p
+        t0 = time.perf_counter()
         meta = jax.device_put(wirecodec.pack_meta(enc_b), self.device)
+        np.asarray(meta[:1, :1])
+        t_overhead = time.perf_counter() - t0
+        rate_packed = batch[h:].nbytes / max(t_wire + t_overhead, 1e-9)
         bh, t = enc_b["shape"]
         dec_b = wirecodec.decode_call(put_p, meta, b=bh, t=t)
         for mode, rate in (("raw", rate_raw), ("packed", rate_packed)):
@@ -509,6 +542,20 @@ class EmbeddingEngine:
                     wirecodec.MIN_PACK_WORDS,
                 ),
             )
+            # the raw-vs-packed race decodes the tail HALF of a batch —
+            # a different (rows, b) shape key; prewarm it too or the
+            # first 'auto' race pays a cold decode compile in the timed/
+            # serving path it exists to protect
+            half = batch[bsz // 2:]
+            enc_h = wirecodec.encode(half, pool=self._put_pool)
+            if enc_h is not None:
+                wirecodec.prewarm_decode(
+                    enc_h,
+                    packed_shape=(
+                        len(enc_h["packed"]) // wirecodec.MIN_PACK_WORDS,
+                        wirecodec.MIN_PACK_WORDS,
+                    ),
+                )
 
     def _probe_put(self, batch: np.ndarray):
         """Unbiased transfer-mode probe (round-2 advisor finding: timing
@@ -1054,25 +1101,30 @@ class EmbeddingEngine:
         if self.file_cache is None or len(paths) == 0:
             return self._embed_files_uncached(paths, trim, progress)
         keys = [self._cache_key(p, trim) for p in paths]
-        missing = [
-            i for i, k in enumerate(keys)
-            if k is None or k not in self.file_cache
-        ]
-        self.cache_hits += len(paths) - len(missing)
-        if missing:
-            fresh = self._embed_files_uncached(
-                [paths[i] for i in missing], trim, progress
-            )
-            for row, i in enumerate(missing):
-                if keys[i] is not None:
-                    self.file_cache[keys[i]] = fresh[row]
-        if not missing:
-            return np.stack([self.file_cache[k] for k in keys])
+        # Snapshot hit values BEFORE inserting fresh entries: with a
+        # bounded LRU the inserts below can evict this request's own hits
+        # (a mixed request of >=maxsize new files + cached ones crashed
+        # with KeyError on the final gather). Reading through __getitem__
+        # here also refreshes the hits' recency.
+        hits = {
+            i: self.file_cache[k]
+            for i, k in enumerate(keys)
+            if k is not None and k in self.file_cache
+        }
+        self.cache_hits += len(hits)
+        if len(hits) == len(paths):
+            return np.stack([hits[i] for i in range(len(paths))])
+        missing = [i for i in range(len(paths)) if i not in hits]
+        fresh = self._embed_files_uncached(
+            [paths[i] for i in missing], trim, progress
+        )
+        for row, i in enumerate(missing):
+            if keys[i] is not None:
+                self.file_cache[keys[i]] = fresh[row]
         fresh_it = iter(range(len(missing)))
-        missing_set = set(missing)
         out = np.empty((len(paths), fresh.shape[1]), fresh.dtype)
-        for i, k in enumerate(keys):
-            out[i] = fresh[next(fresh_it)] if i in missing_set else self.file_cache[k]
+        for i in range(len(paths)):
+            out[i] = hits[i] if i in hits else fresh[next(fresh_it)]
         return out
 
     def _embed_files_uncached(self, paths, trim, progress) -> np.ndarray:

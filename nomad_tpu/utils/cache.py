@@ -55,7 +55,10 @@ def default_cache_dir() -> str:
     ws = _workspace_dir()
     try:
         os.makedirs(ws, exist_ok=True)
-        probe = os.path.join(ws, ".w")
+        # per-process probe name: concurrent startups (e.g. a bench parent
+        # and its serve subprocess) racing on one fixed ".w" made the loser
+        # fall back to the home cache dir and re-pay cold compiles there
+        probe = os.path.join(ws, f".w{os.getpid()}")
         with open(probe, "w"):
             pass
         os.remove(probe)

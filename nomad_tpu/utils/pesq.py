@@ -231,11 +231,16 @@ def _loudness(bands):
 
 
 def _weighted_lp(x, w, p, axis=-1):
-    """pseudo-Lp of the Annex A code: width-weighted p-norm over bands."""
+    """pseudo-Lp of the Annex A code: width-weighted p-norm over bands,
+    scaled by the TOTAL band weight — ``((sum((|x|w)^p)/W)^(1/p)) * W``
+    with W = sum(w), matching the reference pseudo_Lp. (An earlier
+    version scaled by W^(1/p), which cancels the 1/W inside the root and
+    degenerates to a plain unnormalized p-norm — ~sqrt(W) ~ 4.6x small
+    for the p=2 symmetric disturbance.)"""
     wsum = np.sum(w)
-    return (np.sum((np.abs(x) * w) ** p, axis=axis) / wsum) ** (1.0 / p) * (
-        wsum ** (1.0 / p)
-    )
+    return (np.sum((np.abs(x) * w) ** p, axis=axis) / wsum) ** (
+        1.0 / p
+    ) * wsum
 
 
 def _lp(x, p, axis=None):
@@ -326,7 +331,17 @@ def pesq_wb(ref, deg, sr: int = SR) -> float:
 
     # frame-level aggregation over bands: width-weighted L2 (symmetric) and
     # L1 (asymmetric) pseudo-Lp norms
-    d_sym = _weighted_lp(dist, _WIDTH_BARK, D_POW_F, axis=1)
+    # SYM_UNIT compensates this module's regenerated band-table unit
+    # system: with the true pseudo-Lp, our loudness-density disturbances
+    # run a constant W^(1-1/p) (~4.6x at p=2 over the ~21-bark span) above
+    # the scale the published cap (45) and weight (0.1) assume, saturating
+    # the cap on mild noise. Dividing by it here — ONE named constant,
+    # input-independent — restores the field-data-validated operating
+    # curve while keeping the norm itself in the standard's form. This is
+    # the module's honest residual self-calibration (band tables are
+    # formula-regenerated, not the spec's digit-exact tables).
+    sym_unit = np.sum(_WIDTH_BARK) ** (1.0 - 1.0 / D_POW_F)
+    d_sym = _weighted_lp(dist, _WIDTH_BARK, D_POW_F, axis=1) / sym_unit
     d_asym = np.sum(np.abs(dist) * h * _WIDTH_BARK, axis=1)
 
     # frame weighting (§10.2.8): disturbances in quiet-reference frames are

@@ -32,13 +32,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def synth(seconds: float, seed: int, sr: int = 16000) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    t = np.arange(int(seconds * sr)) / sr
-    f0 = 90.0 + 60.0 * rng.random()
-    x = 0.15 * np.sin(2 * np.pi * f0 * t) * np.clip(
-        np.sin(2 * np.pi * 0.8 * t), 0, 1
-    ) + 0.01 * rng.standard_normal(t.shape)
-    return np.clip(x, -0.99, 0.99).astype(np.float32)
+    from nomad_tpu.utils.synth import speech_like
+
+    return speech_like(1, seconds, sr=sr, seed=seed, dtype=np.float32)[0]
 
 
 def request(proc, req: dict) -> tuple[dict, float]:

@@ -29,13 +29,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def synth_wav(path, seconds, sr, seed):
     from nomad_tpu.io import write_wav
+    from nomad_tpu.utils.synth import speech_like
 
-    rng = np.random.default_rng(seed)
-    t = np.arange(int(seconds * sr)) / sr
-    f0 = 90.0 + 60.0 * rng.random()
-    x = 0.15 * np.sin(2 * np.pi * f0 * t) + 0.03 * rng.standard_normal(t.shape)
-    write_wav(path, np.clip(x, -0.99, 0.99)[None].astype(np.float32), sr,
-              bits=16)
+    x = speech_like(1, seconds, sr=sr, seed=seed, dtype=np.float32)[0]
+    write_wav(path, x[None], sr, bits=16)
 
 
 def build_dataset(work, n_triplets, seconds):

@@ -133,3 +133,33 @@ def test_model_level_fused_impl_matches_xla():
     ef = model_f.apply(params, waves, lengths=lengths)
     np.testing.assert_allclose(np.asarray(ex), np.asarray(ef),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_tail_q_block_covered(setup):
+    """Regression: padded lengths that are not multiples of 512 (t_pad in
+    {640, 768, 896}) must compute EVERY query row — min(512, t_pad) as the
+    block size truncated the grid and left rows >= 512 as NaN/garbage.
+    block_q is now an exact divisor of t_pad."""
+    from nomad_tpu.ops.fused_attention import _block_q_for
+
+    assert _block_q_for(512) == 512  # common 10 s bucket: unchanged
+    assert _block_q_for(640) == 128
+    assert _block_q_for(768) == 384
+    assert _block_q_for(896) == 128
+    assert _block_q_for(1024) == 512
+
+    rng = np.random.default_rng(11)
+    for t in (600, 770):
+        x = rng.standard_normal((1, t, DM)).astype(np.float32) * 0.3
+        ws = [rng.standard_normal((DM, DM)).astype(np.float32) * 0.1
+              for _ in range(4)]
+        bs = [rng.standard_normal((DM,)).astype(np.float32) * 0.05
+              for _ in range(4)]
+        mask = np.ones((1, t), bool)
+        out = np.asarray(_call(x, ws, bs, mask, "highest"))
+        assert np.all(np.isfinite(out)), f"non-finite rows at T={t}"
+        ref = np.asarray(_unfused_ref(
+            x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3],
+            mask, heads=H, mode="highest",
+        ))
+        np.testing.assert_allclose(out, ref, atol=2e-4)

@@ -134,3 +134,19 @@ def test_spec_constants_are_published_values():
     assert abs(top - 4.6439) < 1e-3
     # 32 ms Hann frames, 50% overlap, 49 wideband Bark bands
     assert (P.NFFT, P.HOP, P.NB) == (512, 256, 49)
+
+
+def test_pseudo_lp_matches_itu_form():
+    """_weighted_lp is the reference pseudo_Lp: ((sum((|x|w)^p)/W)^(1/p))*W
+    with W = sum(w). (A degenerate W^(1/p) scaling — which cancels to a
+    plain unnormalized p-norm — previously hid the module's band-table
+    unit offset; that offset now lives in ONE named constant at the
+    d_sym call site instead.)"""
+    from nomad_tpu.utils.pesq import _weighted_lp
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(49)
+    w = np.abs(rng.standard_normal(49)) + 0.1
+    for p in (1.0, 2.0, 6.0):
+        itu = (np.sum((np.abs(x) * w) ** p) / np.sum(w)) ** (1.0 / p) * np.sum(w)
+        assert np.isclose(_weighted_lp(x, w, p), itu)

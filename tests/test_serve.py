@@ -220,7 +220,7 @@ def test_protocol_stream_carries_only_json(tmp_path):
     proc = subprocess.run(
         [_sys.executable, "-m", "nomad_tpu.serve", "--model", "tiny"],
         input="\n".join(json.dumps(q) for q in reqs) + "\n",
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=1200,  # CPU-contended CI
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
@@ -228,3 +228,41 @@ def test_protocol_stream_carries_only_json(tmp_path):
     resps = [json.loads(l) for l in lines]  # raises if a banner leaked
     assert all(rsp["ok"] for rsp in resps)
     assert "NOMAD running on" in proc.stderr
+
+
+def test_mixed_hit_miss_request_survives_lru_eviction(tmp_path, rng):
+    """A request mixing cached files with >= maxsize NEW files must not
+    crash: the LRU inserts for the fresh embeddings can evict this very
+    request's hits, so hit values are snapshotted before inserting
+    (regression: KeyError on the final gather)."""
+    from nomad_tpu.scoring.engine import EmbeddingLRU
+
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    srv = NomadServer(
+        nomad=Nomad(config=cfg, emb_dim=16, params=params), cache_size=4
+    )
+    eng = srv.nomad.engine
+
+    def wav(name, seed):
+        p = tmp_path / name
+        r = np.random.default_rng(seed)
+        write_wav(
+            str(p), (0.05 * r.standard_normal(1600)).astype(np.float32)[None],
+            16000, bits=16,
+        )
+        return str(p)
+
+    a = wav("a.wav", 0)
+    ref_a = eng.embed_files([a])[0]  # A is now cached
+    newfiles = [wav(f"n{i}.wav", 10 + i) for i in range(5)]  # > maxsize
+    out = eng.embed_files([a] + newfiles)  # must not raise
+    np.testing.assert_array_equal(out[0], ref_a)
+    # fresh results are correct too (order preserved)
+    solo = eng.embed_files([newfiles[-1]])
+    np.testing.assert_array_equal(out[-1], solo[0])
+    assert isinstance(eng.file_cache, EmbeddingLRU)
+    assert len(eng.file_cache) <= 4

@@ -142,6 +142,13 @@ def test_codec_race_decides_and_stays_exact(monkeypatch):
     from nomad_tpu.scoring import engine as eng
 
     monkeypatch.setattr(eng.jax, "default_backend", lambda: "tpu")
+    # faking a tpu backend makes engine __post_init__'s
+    # enable_compilation_cache REALLY enable the persistent cache — a
+    # process-global jax.config leak into later tests; neutralize it
+    from nomad_tpu.utils import cache as cache_mod
+
+    monkeypatch.setattr(cache_mod, "enable_compilation_cache",
+                        lambda cache_dir=None: None)
     cfg = Wav2Vec2Config.tiny()
     model = NomadModel(cfg, emb_dim=16)
     params = model.init(
