@@ -166,7 +166,57 @@ def _decode_jit(packed, meta, b: int, t: int):
     """packed: uint32, any shape (raveled inside — avoids an eager
     device-side reshape per batch); meta: [3, NB] int32 rows =
     (widths, offsets, firsts)."""
-    packed = packed.reshape(-1)
+    return _decode_body(packed.reshape(-1), meta, b, t)
+
+
+def meta_rows(b: int, t: int) -> int:
+    """Rows of MIN_PACK_WORDS uint32 words the [3, NB] meta occupies in a
+    combined frame (static given the batch shape)."""
+    nb_meta = 3 * b * (t // S)
+    return -(-nb_meta // MIN_PACK_WORDS)
+
+
+def combined_rows(enc: dict) -> np.ndarray:
+    """One-transfer frame: the bucket-padded packed stream reshaped to
+    [Rp, MIN_PACK_WORDS] with the int32 meta (widths/offsets/firsts)
+    bit-viewed to uint32 and appended as tail rows. The packed path then
+    costs the SAME host->device RPC count as shipping raw — the separate
+    meta device_put was a fixed ~1 RTT per batch that dominated on
+    high-latency relay sessions. Meta row count is static given (b, t),
+    so the decoder slices it back out with static shapes."""
+    b, t = enc["shape"]
+    rows = enc["packed"].reshape(-1, MIN_PACK_WORDS)
+    m = pack_meta(enc).astype(np.int32).view(np.uint32).ravel()
+    mr = meta_rows(b, t)
+    tail = np.zeros(mr * MIN_PACK_WORDS, np.uint32)
+    tail[: len(m)] = m
+    return np.concatenate([rows, tail.reshape(mr, MIN_PACK_WORDS)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "t"))
+def _decode_combined_jit(combined, b: int, t: int):
+    """Decode a combined frame (see combined_rows): static-slice the meta
+    tail rows back out, bitcast to int32, and run the plane decode on the
+    packed head."""
+    return decode_combined_traced(combined, b, t)
+
+
+def decode_combined_traced(combined, b: int, t: int):
+    """Traceable body of the combined decode — call this INSIDE another
+    jitted computation (e.g. a fused decode+forward executable) to avoid
+    a separate dispatch; use decode_combined_call for a standalone
+    decode."""
+    flat = combined.reshape(-1)
+    nb_meta = 3 * b * (t // S)
+    split = flat.shape[0] - meta_rows(b, t) * MIN_PACK_WORDS
+    packed = flat[:split]
+    meta = jax.lax.bitcast_convert_type(
+        flat[split : split + nb_meta], jnp.int32
+    ).reshape(3, b * (t // S))
+    return _decode_body(packed, meta, b, t)
+
+
+def _decode_body(packed, meta, b: int, t: int):
     widths, offsets, firsts = meta[0], meta[1], meta[2]
     nb = t // S
     w = widths.astype(jnp.uint32)[:, None, None]  # [NB, 1, 1]
@@ -238,6 +288,29 @@ def decode_call(packed, meta, b: int, t: int):
         except (TypeError, ValueError):  # aval/device mismatch
             _decode_aot.pop(key, None)
     return _decode_jit(packed, meta, b=b, t=t)
+
+
+def prewarm_decode_combined(rows_shape, b: int, t: int) -> None:
+    """AOT-compile the standalone combined-frame decode for this shape
+    key (used by the raw-vs-packed race; the steady packed path fuses the
+    decode into the model forward instead — see the engine)."""
+    key = ("c", tuple(rows_shape), b, t)
+    if key in _decode_aot:
+        return
+    _decode_aot[key] = _decode_combined_jit.lower(
+        jax.ShapeDtypeStruct(tuple(rows_shape), jnp.uint32), b=b, t=t
+    ).compile()
+
+
+def decode_combined_call(combined, b: int, t: int):
+    key = ("c", tuple(combined.shape), b, t)
+    fn = _decode_aot.get(key)
+    if fn is not None:
+        try:
+            return fn(combined)
+        except (TypeError, ValueError):  # aval/device mismatch
+            _decode_aot.pop(key, None)
+    return _decode_combined_jit(combined, b=b, t=t)
 
 
 def decode_numpy(enc: dict) -> np.ndarray:

@@ -286,12 +286,40 @@ class EmbeddingEngine:
             self._jitted[key] = fn
         return fn
 
+    def _get_fn_packed(self, batch: int, length: int, rows_shape) -> Callable:
+        """Fused wire-codec forward: ONE executable decodes the combined
+        packed frame (ops/wirecodec.combined_rows) back to the int16
+        batch, dequantizes, and runs the model. Together with the
+        single-transfer frame this makes the packed path cost exactly the
+        raw path's RPC count (1 put + 1 dispatch) — the separate decode
+        dispatch and meta put were fixed ~1 RTT each per batch, which
+        dominated the codec's byte saving on high-latency relay
+        sessions."""
+        key = ("pk", batch, length, tuple(rows_shape))
+        fn = self._jitted.get(key)
+        if fn is None:
+            from ..ops import wirecodec
+
+            def apply(p, rows, l):
+                w = wirecodec.decode_combined_traced(rows, batch, length)
+                w = w.astype(jnp.float32) / PCM16_SCALE
+                return self.model.apply(p, w, lengths=l)
+
+            fn = jax.jit(apply)  # codec is single-device-path only
+            self._jitted[key] = fn
+        return fn
+
     def _put(self, batch: np.ndarray, lengths: np.ndarray, enc=False):
         """Async host->device placement (sharded when a mesh is set).
 
         ``enc``: wire-codec disposition — a dict = encoding precomputed in
         the assemble pool; False = decide (and encode) here; None = ship
         raw (caller already found the batch incompressible).
+
+        Returns ``(payload, lengths_dev, pk)``: pk is None when payload is
+        the waveform batch, or the combined packed frame's row shape when
+        the wire codec shipped it — the caller then dispatches through the
+        fused decode+forward executable (_get_fn_packed).
 
         Single-device path: large batches are split into row chunks pushed
         over parallel streams. The axon relay (and PCIe DMA generally)
@@ -303,8 +331,8 @@ class EmbeddingEngine:
             sh = batch_sharding(self.mesh)
             return jax.device_put(batch, sh), jax.device_put(
                 lengths.astype(np.int32), sh
-            )
-        wave_dev = None
+            ), None
+        wave_dev, packed = None, None
         codec_candidate = isinstance(enc, dict) or (
             enc is False and self._codec_applicable(batch)
         )
@@ -322,12 +350,15 @@ class EmbeddingEngine:
                 use = self._use_codec
                 self._codec_puts_since_probe += 1
             if wave_dev is None and use:
-                wave_dev = self._put_packed(
+                packed = self._put_packed(
                     batch, enc=enc if isinstance(enc, dict) else None
                 )
+        len_dev = jax.device_put(lengths.astype(np.int32), self.device)
+        if packed is not None:
+            return packed[0], len_dev, packed[1]
         if wave_dev is None:
             wave_dev = self._put_array(batch)
-        return wave_dev, jax.device_put(lengths.astype(np.int32), self.device)
+        return wave_dev, len_dev, None
 
     def _probe_codec(self, batch: np.ndarray):
         """Race raw vs packed transport on halves of THIS batch, in
@@ -372,28 +403,24 @@ class EmbeddingEngine:
         put_a = self._put_large(batch[:h], mode)
         np.asarray(put_a[:1, :1])
         rate_raw = batch[:h].nbytes / max(time.perf_counter() - t0, 1e-9)
-        # packed half: wire time of the stream, PLUS the path's fixed
-        # per-batch RPC overhead. Shipping packed costs two extra relay
-        # round trips per batch (the meta device_put + the decode
-        # dispatch) that a bandwidth-only race cannot see — on a high-
-        # latency session those fixed costs dominate (measured: packed won
-        # the byte race 1.06x while losing end-to-end 2.8x at ~1 s RTT).
-        # The meta put + its 1-element readback below is itself ~2 RTTs,
-        # so its wall time is the right estimator for the overhead; fold
-        # it into the packed half's effective rate.
-        rows = enc_b["packed"].reshape(-1, wirecodec.MIN_PACK_WORDS)
+        # packed half: the combined frame (stream + meta tail) ships as
+        # ONE transfer and the steady path fuses the decode into the
+        # forward executable, so packed and raw now cost the same RPC
+        # count per batch — the byte race is a fair end-to-end comparison
+        # again. (Before the combined frame, packed paid two extra relay
+        # round trips per batch — meta put + decode dispatch — and a ~1 s
+        # RTT session saw packed win the byte race 1.06x while losing
+        # end-to-end 2.8x.)
+        rows = wirecodec.combined_rows(enc_b)
         t0 = time.perf_counter()
         put_p = self._put_large(rows, mode)
         np.asarray(put_p[:1, :1])
-        t_wire = time.perf_counter() - t0
+        rate_packed = batch[h:].nbytes / max(time.perf_counter() - t0, 1e-9)
         self._last_put = put_p
-        t0 = time.perf_counter()
-        meta = jax.device_put(wirecodec.pack_meta(enc_b), self.device)
-        np.asarray(meta[:1, :1])
-        t_overhead = time.perf_counter() - t0
-        rate_packed = batch[h:].nbytes / max(t_wire + t_overhead, 1e-9)
         bh, t = enc_b["shape"]
-        dec_b = wirecodec.decode_call(put_p, meta, b=bh, t=t)
+        # standalone combined decode (the probe's half-batch rides the
+        # NORMAL forward after concatenation with the raw half)
+        dec_b = wirecodec.decode_combined_call(put_p, b=bh, t=t)
         for mode, rate in (("raw", rate_raw), ("packed", rate_packed)):
             old = self._codec_probes.get(mode)
             self._codec_probes[mode] = rate if old is None else (
@@ -412,7 +439,7 @@ class EmbeddingEngine:
         self._codec_decide()
         self._codec_puts_since_probe = 0
         self._codec_hits += 1
-        self._codec_saved_bytes += batch[h:].nbytes - enc_b["nbytes"]
+        self._codec_saved_bytes += batch[h:].nbytes - rows.nbytes
         return jnp.concatenate([put_a, dec_b], axis=0)
 
     def _codec_decide(self) -> None:
@@ -490,23 +517,31 @@ class EmbeddingEngine:
         return enc
 
     def _put_packed(self, batch: np.ndarray, enc=None):
-        """Wire-codec path: adaptive-mode transfer of the packed stream +
-        jitted on-device decode back to the exact [B, T] int16 batch.
-        Returns None (-> raw path) for incompressible batches."""
+        """Wire-codec path: adaptive-mode transfer of the ONE combined
+        frame (packed stream + meta tail rows); the decode happens inside
+        the fused forward executable the caller dispatches. Returns
+        (frame_device_array, frame_shape), or None (-> raw path) for
+        incompressible batches."""
         from ..ops import wirecodec
 
         if enc is None:
             enc = self._encode_batch(batch)
         if enc is None:
             return None
-        rows = enc["packed"].reshape(-1, wirecodec.MIN_PACK_WORDS)
-        pdev = self._put_array(rows)  # decode ravels internally
-        meta = jax.device_put(wirecodec.pack_meta(enc), self.device)
+        rows = wirecodec.combined_rows(enc)
         b, t = enc["shape"]
-        out = wirecodec.decode_call(pdev, meta, b=b, t=t)
+        pdev = self._put_array(rows)
         self._codec_hits += 1
-        self._codec_saved_bytes += batch.nbytes - enc["nbytes"]
-        return out
+        self._codec_saved_bytes += batch.nbytes - rows.nbytes
+        key = ("pk", b, t, tuple(rows.shape))
+        if key in self._aot or key in self._compiled_keys:
+            # fused decode+forward executable is ready: one dispatch total
+            return pdev, rows.shape
+        # not prewarmed for this (batch, frame) shape: decode standalone
+        # (a small jit — seconds, persistently cached — vs the fused
+        # executable's full-model compile, which must never fire
+        # synchronously at ship time) and ride the normal forward
+        return wirecodec.decode_combined_call(pdev, b=b, t=t), None
 
     def prewarm_codec(self, waves) -> None:
         """Pre-compile the wire-codec decode executable for the dominant
@@ -535,26 +570,29 @@ class EmbeddingEngine:
         if enc is not None and (
             enc["nbytes"] <= self.wire_codec_max_ratio * batch.nbytes
         ):
-            wirecodec.prewarm_decode(
-                enc,
-                packed_shape=(
-                    len(enc["packed"]) // wirecodec.MIN_PACK_WORDS,
-                    wirecodec.MIN_PACK_WORDS,
-                ),
-            )
-            # the raw-vs-packed race decodes the tail HALF of a batch —
-            # a different (rows, b) shape key; prewarm it too or the
-            # first 'auto' race pays a cold decode compile in the timed/
-            # serving path it exists to protect
+            # steady path: AOT the FUSED decode+forward executable for the
+            # dominant combined-frame shape (one dispatch per packed batch)
+            rows_shape = wirecodec.combined_rows(enc).shape
+            key = ("pk", bsz, blen, tuple(rows_shape))
+            if key not in self._aot:
+                fn = self._get_fn_packed(bsz, blen, rows_shape)
+                self._aot[key] = fn.lower(
+                    self._params_aval(),
+                    jax.ShapeDtypeStruct(rows_shape, jnp.uint32),
+                    jax.ShapeDtypeStruct((bsz,), jnp.int32),
+                ).compile()
+                self._compiled_keys.add(key)
+            # the raw-vs-packed race decodes the tail HALF of a batch
+            # standalone (it recombines with the raw half before the
+            # normal forward) — a different shape key; prewarm it too or
+            # the first 'auto' race pays a cold decode compile in the
+            # timed/serving path it exists to protect
             half = batch[bsz // 2:]
             enc_h = wirecodec.encode(half, pool=self._put_pool)
             if enc_h is not None:
-                wirecodec.prewarm_decode(
-                    enc_h,
-                    packed_shape=(
-                        len(enc_h["packed"]) // wirecodec.MIN_PACK_WORDS,
-                        wirecodec.MIN_PACK_WORDS,
-                    ),
+                rows_h = wirecodec.combined_rows(enc_h)
+                wirecodec.prewarm_decode_combined(
+                    rows_h.shape, b=half.shape[0], t=blen
                 )
 
     def _probe_put(self, batch: np.ndarray):
@@ -725,6 +763,13 @@ class EmbeddingEngine:
                 self._params_device = jax.tree_util.tree_unflatten(treedef, put)
         return self._params_device
 
+    def _params_aval(self):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+            if not hasattr(x, "aval") else jax.ShapeDtypeStruct(x.shape, x.dtype),
+            self.params,
+        )
+
     def _prewarm_keys(self, keys) -> None:
         """Compile (batch, length, int16) shapes concurrently and KEEP the
         AOT executables.
@@ -745,11 +790,7 @@ class EmbeddingEngine:
         ]
         if not keys:
             return
-        p_aval = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
-            if not hasattr(x, "aval") else jax.ShapeDtypeStruct(x.shape, x.dtype),
-            self.params,
-        )
+        p_aval = self._params_aval()
 
         def warm(key):
             bsz, blen, i16 = key
@@ -777,7 +818,11 @@ class EmbeddingEngine:
                 # differs from the default the AOT lowering assumed): fall
                 # back to jit for this and future calls of the shape
                 self._aot.pop(key, None)
-        out = self._get_fn(*key)(params, wave_dev, len_dev)
+        fn = (
+            self._get_fn_packed(*key[1:]) if key[0] == "pk"
+            else self._get_fn(*key)
+        )
+        out = fn(params, wave_dev, len_dev)
         self._compiled_keys.add(key)
         return out
 
@@ -812,7 +857,8 @@ class EmbeddingEngine:
             if key not in self._compiled_keys and key not in self._aot:
                 covers = [
                     k[0] for k in avail
-                    if k[1] == blen and k[2] == i16 and k[0] > bsz
+                    if isinstance(k[0], int)  # skip ("pk", ...) keys
+                    and k[1] == blen and k[2] == i16 and k[0] > bsz
                 ]
                 if covers:
                     bsz = min(covers)
@@ -1031,13 +1077,14 @@ class EmbeddingEngine:
             for (chunk, bsz, blen), (batch, lengths, is_int16, enc) in zip(
                 chunks, ex.map(assemble, chunks)
             ):
-                key = (bsz, blen, is_int16)
                 with timed("engine.submit", items=len(chunk), nbytes=batch.nbytes):
+                    payload, len_dev, pk = self._put(batch, lengths, enc)
+                    key = (
+                        ("pk", bsz, blen, tuple(pk)) if pk is not None
+                        else (bsz, blen, is_int16)
+                    )
                     pending.append(
-                        (chunk,
-                         self._dispatch(
-                             key, params, *self._put(batch, lengths, enc)
-                         ))
+                        (chunk, self._dispatch(key, params, payload, len_dev))
                     )
 
         self._collect(pending, out, bar)
@@ -1246,11 +1293,14 @@ class EmbeddingEngine:
                 is_int16 = True
             else:
                 batch, is_int16 = self._maybe_int16(batch)
-            pending.append((
-                chunk,
-                self._dispatch((bsz, blen, is_int16), params,
-                               *self._put(batch, lengths)),
-            ))
+            payload, len_dev, pk = self._put(batch, lengths)
+            dkey = (
+                ("pk", bsz, blen, tuple(pk)) if pk is not None
+                else (bsz, blen, is_int16)
+            )
+            pending.append(
+                (chunk, self._dispatch(dkey, params, payload, len_dev))
+            )
         self._collect(pending, out)
         return np.stack([out[i] for i in range(len(paths))])
 

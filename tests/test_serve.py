@@ -217,11 +217,18 @@ def test_protocol_stream_carries_only_json(tmp_path):
          "results_path": None},
         {"op": "shutdown"},
     ]
+    # pin CPU via jax.config (the JAX_PLATFORMS env var does not stop the
+    # axon relay plugin from dialing out at startup — with the relay
+    # down/slow the subprocess would hang on hardware, not on the code
+    # under test) while still driving the real serve.main entry point
     proc = subprocess.run(
-        [_sys.executable, "-m", "nomad_tpu.serve", "--model", "tiny"],
+        [_sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "from nomad_tpu.serve import main; main(['--model', 'tiny'])"],
         input="\n".join(json.dumps(q) for q in reqs) + "\n",
         capture_output=True, text=True, timeout=1200,  # CPU-contended CI
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        env=os.environ, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
     )
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
     assert len(lines) == len(reqs), proc.stdout

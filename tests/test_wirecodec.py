@@ -217,3 +217,36 @@ def test_probe_backoff():
         cur = eng._backoff(cur, stable=stable)
         seen.append(cur)
     assert seen == [16, 32, 64, 64, 8, 16]
+
+
+def test_fused_packed_forward_prewarmed_and_dispatched():
+    """prewarm_codec AOT-compiles the fused decode+forward executable for
+    the dominant combined-frame shape; a forced-packed embed then
+    dispatches through the ("pk", ...) key with no new compiles — the
+    packed path costs raw's RPC count (one transfer, one dispatch)."""
+    import jax.numpy as jnp
+
+    from nomad_tpu.models import NomadModel, Wav2Vec2Config
+    from nomad_tpu.scoring.engine import EmbeddingEngine
+
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    waves = [w for w in _speech_like(8, 8192)]
+    eng = EmbeddingEngine(
+        model, params, wire_codec="on", parallel_put_min_bytes=1024,
+        batch_sample_budget=8 * 8192,  # full batch == the 8 waves shipped
+    )
+    eng.prewarm_codec(waves)
+    pk_keys = [k for k in eng._aot if k[0] == "pk"]
+    assert pk_keys, "fused executable not prewarmed"
+    compiled_before = set(eng._compiled_keys) | set(eng._aot)
+    e_packed = eng.embed_waves(waves)
+    assert eng.transfer_stats()["codec_hits"] >= 1
+    # the packed batches reused the prewarmed fused executable
+    new_keys = (set(eng._compiled_keys) | set(eng._aot)) - compiled_before
+    assert not [k for k in new_keys if k[0] == "pk"], new_keys
+    ref = EmbeddingEngine(model, params, wire_codec="off").embed_waves(waves)
+    np.testing.assert_array_equal(ref, e_packed)
