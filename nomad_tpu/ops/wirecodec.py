@@ -252,42 +252,16 @@ def decode_on_device(enc: dict, device=None):
     b, t = enc["shape"]
     packed = jax.device_put(enc["packed"], device)
     meta = jax.device_put(pack_meta(enc), device)
-    return decode_call(packed, meta, b=b, t=t)
+    return _decode_jit(packed, meta, b=b, t=t)
 
 
 # AOT-retained decode executables (same lesson as the engine's model
 # shapes: fn.lower().compile() work is unreachable from jit dispatch, so
-# keep the Compiled and call it directly)
+# keep the Compiled and call it directly). Keyed ("c", rows_shape, b, t)
+# for combined frames — the only prewarmed decode format; the split
+# packed+meta decode (_decode_jit) remains for decode_on_device and the
+# host-side tests.
 _decode_aot: dict = {}
-
-
-def prewarm_decode(enc: dict, packed_shape=None) -> None:
-    """AOT-compile the decode executable for this payload's shape key so
-    the first real packed batch decodes without a compile in the timed
-    path. ``packed_shape`` overrides the aval shape when the caller ships
-    the stream 2-D (row-split for parallel transfer)."""
-    b, t = enc["shape"]
-    shape = tuple(packed_shape) if packed_shape else enc["packed"].shape
-    key = (shape, b, t)
-    if key in _decode_aot:
-        return
-    nb = b * (t // S)
-    _decode_aot[key] = _decode_jit.lower(
-        jax.ShapeDtypeStruct(shape, jnp.uint32),
-        jax.ShapeDtypeStruct((3, nb), jnp.int32),
-        b=b, t=t,
-    ).compile()
-
-
-def decode_call(packed, meta, b: int, t: int):
-    key = (tuple(packed.shape), b, t)
-    fn = _decode_aot.get(key)
-    if fn is not None:
-        try:
-            return fn(packed, meta)
-        except (TypeError, ValueError):  # aval/device mismatch
-            _decode_aot.pop(key, None)
-    return _decode_jit(packed, meta, b=b, t=t)
 
 
 def prewarm_decode_combined(rows_shape, b: int, t: int) -> None:

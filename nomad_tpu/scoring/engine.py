@@ -344,7 +344,9 @@ class EmbeddingEngine:
                 or self._codec_puts_since_probe
                 >= (self._codec_interval or self.probe_interval)
             ):
-                wave_dev = self._probe_codec(batch)
+                wave_dev = self._probe_codec(
+                    batch, enc if isinstance(enc, dict) else None
+                )
                 use = False  # probe already shipped the batch
             else:
                 use = self._use_codec
@@ -360,14 +362,17 @@ class EmbeddingEngine:
             wave_dev = self._put_array(batch)
         return wave_dev, len_dev, None
 
-    def _probe_codec(self, batch: np.ndarray):
+    def _probe_codec(self, batch: np.ndarray, enc=None):
         """Race raw vs packed transport on halves of THIS batch, in
         LOGICAL bytes/s (raw-equivalent payload / wall time, readback
         bounded). The relay compresses raw PCM itself by a varying amount
         — some sessions it beats the codec's byte saving, some it's far
         behind — so no static decision survives; EWMA-merged races pick
         the day's winner (same philosophy as the single/parallel stream
-        probe)."""
+        probe). ``enc``: the caller's full-batch encoding when available —
+        used to check whether the STEADY packed path would run fused (one
+        dispatch) or pay the standalone-decode fallback dispatch, whose
+        fixed RTT the packed half is then charged for."""
         h = batch.shape[0] // 2
         # NOTE: the assemble-thread encode of the FULL batch (the `enc`
         # the caller may hold) is not reusable here — the race ships the
@@ -415,8 +420,25 @@ class EmbeddingEngine:
         t0 = time.perf_counter()
         put_p = self._put_large(rows, mode)
         np.asarray(put_p[:1, :1])
-        rate_packed = batch[h:].nbytes / max(time.perf_counter() - t0, 1e-9)
+        t_packed = time.perf_counter() - t0
         self._last_put = put_p
+        # RPC parity holds only when the steady path's fused executable
+        # exists for this batch population's frame shape; otherwise every
+        # packed batch pays a standalone-decode dispatch (~1 RTT of fixed
+        # latency the wire timing can't see). Estimate that RTT with a
+        # tiny put+readback and charge the packed half for it.
+        fused_ready = False
+        if enc is not None and "rows" in enc:
+            full_key = ("pk", batch.shape[0], batch.shape[1],
+                        tuple(enc["rows"].shape))
+            fused_ready = full_key in self._aot
+        if not fused_ready:
+            t0 = time.perf_counter()
+            np.asarray(jax.device_put(
+                np.zeros((1, 1), np.int32), self.device
+            ))
+            t_packed += time.perf_counter() - t0
+        rate_packed = batch[h:].nbytes / max(t_packed, 1e-9)
         bh, t = enc_b["shape"]
         # standalone combined decode (the probe's half-batch rides the
         # NORMAL forward after concatenation with the raw half)
@@ -502,15 +524,20 @@ class EmbeddingEngine:
         )
 
     def _encode_batch(self, batch: np.ndarray):
-        """Host-side wire-codec encode + the skip decision (incompressible
-        batches ship raw). Runs inside the assemble thread pool so the
-        ~40-130 ms C++ pack overlaps the previous batch's wire time
-        instead of serializing the submit loop."""
+        """Host-side wire-codec encode + combined-frame build + the skip
+        decision. Runs inside the assemble thread pool so the ~40-130 ms
+        C++ pack AND the frame concatenate (a full-stream memcpy) overlap
+        the previous batch's wire time instead of serializing the submit
+        loop. The skip decision compares the bytes that actually ship —
+        the combined frame including the meta tail's row padding — not
+        the pre-frame packed size."""
         from ..ops import wirecodec
 
         enc = wirecodec.encode(batch)
+        if enc is not None:
+            enc["rows"] = wirecodec.combined_rows(enc)
         if enc is None or (
-            enc["nbytes"] > self.wire_codec_max_ratio * batch.nbytes
+            enc["rows"].nbytes > self.wire_codec_max_ratio * batch.nbytes
         ):
             self._codec_skips += 1
             return None
@@ -528,18 +555,18 @@ class EmbeddingEngine:
             enc = self._encode_batch(batch)
         if enc is None:
             return None
-        rows = wirecodec.combined_rows(enc)
+        rows = enc["rows"]
         b, t = enc["shape"]
         pdev = self._put_array(rows)
         self._codec_hits += 1
         self._codec_saved_bytes += batch.nbytes - rows.nbytes
         key = ("pk", b, t, tuple(rows.shape))
-        if key in self._aot or key in self._compiled_keys:
+        if key in self._aot:
             # fused decode+forward executable is ready: one dispatch total
             return pdev, rows.shape
-        # not prewarmed for this (batch, frame) shape: decode standalone
-        # (a small jit — seconds, persistently cached — vs the fused
-        # executable's full-model compile, which must never fire
+        # no AOT fused executable for this (batch, frame) shape: decode
+        # standalone (a small jit — seconds, persistently cached — vs the
+        # fused executable's full-model compile, which must never fire
         # synchronously at ship time) and ride the normal forward
         return wirecodec.decode_combined_call(pdev, b=b, t=t), None
 
@@ -567,14 +594,21 @@ class EmbeddingEngine:
                 w = np.rint(w * PCM16_SCALE).astype(np.int16)
             batch[row, : len(w)] = w
         enc = wirecodec.encode(batch, pool=self._put_pool)
+        if enc is not None:
+            enc["rows"] = wirecodec.combined_rows(enc)
         if enc is not None and (
-            enc["nbytes"] <= self.wire_codec_max_ratio * batch.nbytes
+            # same gate as _encode_batch: the bytes that actually ship
+            enc["rows"].nbytes <= self.wire_codec_max_ratio * batch.nbytes
         ):
-            # steady path: AOT the FUSED decode+forward executable for the
-            # dominant combined-frame shape (one dispatch per packed batch)
-            rows_shape = wirecodec.combined_rows(enc).shape
+            rows_shape = enc["rows"].shape
             key = ("pk", bsz, blen, tuple(rows_shape))
-            if key not in self._aot:
+
+            def warm_fused():
+                # steady path: AOT the FUSED decode+forward executable for
+                # the dominant combined-frame shape (one dispatch per
+                # packed batch)
+                if key in self._aot:
+                    return
                 fn = self._get_fn_packed(bsz, blen, rows_shape)
                 self._aot[key] = fn.lower(
                     self._params_aval(),
@@ -582,18 +616,27 @@ class EmbeddingEngine:
                     jax.ShapeDtypeStruct((bsz,), jnp.int32),
                 ).compile()
                 self._compiled_keys.add(key)
-            # the raw-vs-packed race decodes the tail HALF of a batch
-            # standalone (it recombines with the raw half before the
-            # normal forward) — a different shape key; prewarm it too or
-            # the first 'auto' race pays a cold decode compile in the
-            # timed/serving path it exists to protect
-            half = batch[bsz // 2:]
-            enc_h = wirecodec.encode(half, pool=self._put_pool)
-            if enc_h is not None:
-                rows_h = wirecodec.combined_rows(enc_h)
-                wirecodec.prewarm_decode_combined(
-                    rows_h.shape, b=half.shape[0], t=blen
-                )
+
+            def warm_race_half():
+                # the raw-vs-packed race decodes the tail HALF of a batch
+                # standalone (it recombines with the raw half before the
+                # normal forward) — a different shape key; prewarm it too
+                # or the first 'auto' race pays a cold decode compile in
+                # the timed/serving path it exists to protect
+                half = batch[bsz // 2:]
+                enc_h = wirecodec.encode(half)
+                if enc_h is not None:
+                    rows_h = wirecodec.combined_rows(enc_h)
+                    wirecodec.prewarm_decode_combined(
+                        rows_h.shape, b=half.shape[0], t=blen
+                    )
+
+            # both compiles ride the remote compile service concurrently
+            # (cost ~= the slower one, not the sum)
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                futs = [ex.submit(warm_fused), ex.submit(warm_race_half)]
+                for f in futs:
+                    f.result()
 
     def _probe_put(self, batch: np.ndarray):
         """Unbiased transfer-mode probe (round-2 advisor finding: timing
@@ -818,11 +861,24 @@ class EmbeddingEngine:
                 # differs from the default the AOT lowering assumed): fall
                 # back to jit for this and future calls of the shape
                 self._aot.pop(key, None)
-        fn = (
-            self._get_fn_packed(*key[1:]) if key[0] == "pk"
-            else self._get_fn(*key)
-        )
-        out = fn(params, wave_dev, len_dev)
+                self._compiled_keys.discard(key)
+        if key[0] == "pk":
+            # fused executables run ONLY as prewarmed AOTs — jitting the
+            # full decode+forward here would block the submit path on a
+            # synchronous full-model compile. Decode the frame standalone
+            # (small jit) and ride the plain int16 forward instead.
+            from ..ops import wirecodec
+
+            _, bsz, blen, _shape = key
+            wave_dev = wirecodec.decode_combined_call(wave_dev, b=bsz, t=blen)
+            key = (bsz, blen, True)
+            aot = self._aot.get(key)
+            if aot is not None:
+                try:
+                    return aot(params, wave_dev, len_dev)
+                except (TypeError, ValueError):
+                    self._aot.pop(key, None)
+        out = self._get_fn(*key)(params, wave_dev, len_dev)
         self._compiled_keys.add(key)
         return out
 

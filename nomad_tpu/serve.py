@@ -64,6 +64,25 @@ class NomadServer:
 
         t0 = time.time()
         self.nomad.engine.prewarm(tuple(seconds), ladder=True)
+        # wire-codec readiness: AOT the fused decode+forward executable
+        # on a speech-like payload per duration (prewarm_codec builds the
+        # full steady-state batch from the samples), so packed batches —
+        # when the raw-vs-packed race picks them — run at raw's RPC cost
+        # instead of paying the standalone-decode fallback dispatch.
+        # Best-effort: real payloads landing in a different packed-length
+        # bucket fall back to the standalone decode, which the race then
+        # charges for.
+        import numpy as _np
+
+        from .utils.synth import speech_like
+
+        for sec in seconds:
+            try:
+                self.nomad.engine.prewarm_codec(
+                    speech_like(16, sec, dtype=_np.int16)
+                )
+            except Exception:  # pragma: no cover
+                pass  # raw path is always available
         # don't report ready before the data path is live: the relay's
         # one-time d2h channel setup (36-430 s measured on bad weather)
         # must land in startup, not in the first request's latency

@@ -154,7 +154,10 @@ def test_codec_race_decides_and_stays_exact(monkeypatch):
     params = model.init(
         jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
     )
-    waves = [w for w in _speech_like(8, 8192)]
+    # batch large enough that the combined frame (packed stream + the
+    # >=16 KB meta tail row) clears the ship gate — on tiny batches the
+    # meta floor makes packed honestly unattractive and the race refuses
+    waves = [w for w in _speech_like(8, 40960)]
     off = eng.EmbeddingEngine(model, params, wire_codec="off")
     e_off = off.embed_waves(waves)
     auto = eng.EmbeddingEngine(
