@@ -253,3 +253,39 @@ def test_fused_packed_forward_prewarmed_and_dispatched():
     assert not [k for k in new_keys if k[0] == "pk"], new_keys
     ref = EmbeddingEngine(model, params, wire_codec="off").embed_waves(waves)
     np.testing.assert_array_equal(ref, e_packed)
+
+
+def test_combined_frame_fuzz_roundtrip():
+    """Randomized shapes/content through encode -> combined frame ->
+    decode_combined_call: bit-exact for every (B, T) and payload class,
+    and the frame layout invariants hold (uint32, MIN_PACK_WORDS rows,
+    meta rows as predicted by meta_rows)."""
+    r = np.random.default_rng(42)
+    for trial in range(12):
+        b = int(r.integers(1, 12))
+        t = int(r.integers(1, 9)) * wc.S
+        kind = trial % 4
+        if kind == 0:  # speech-ish
+            tt = np.arange(t) / 16000
+            x = np.round(3000 * np.sin(2 * np.pi * 120 * tt))[None] * (
+                1 - 0.05 * np.arange(b)[:, None]
+            )
+            arr = (x + r.integers(-30, 30, (b, t))).astype(np.int16)
+        elif kind == 1:  # random (likely skipped by ratio gates, still exact)
+            arr = r.integers(-32768, 32768, (b, t), dtype=np.int16)
+        elif kind == 2:  # constant runs
+            arr = np.full((b, t), int(r.integers(-32768, 32767)), np.int16)
+        else:  # sparse spikes
+            arr = np.zeros((b, t), np.int16)
+            idx = r.integers(0, t, size=max(1, t // 100))
+            arr[:, idx] = r.integers(-32768, 32768, size=len(idx))
+        enc = wc.encode(arr)
+        assert enc is not None
+        rows = wc.combined_rows(enc)
+        assert rows.dtype == np.uint32
+        assert rows.shape[1] == wc.MIN_PACK_WORDS
+        assert rows.shape[0] == (
+            len(enc["packed"]) // wc.MIN_PACK_WORDS + wc.meta_rows(b, t)
+        )
+        dec = np.asarray(wc.decode_combined_call(rows, b=b, t=t))
+        np.testing.assert_array_equal(dec, arr, err_msg=f"trial {trial}")
