@@ -119,7 +119,42 @@ def measure_h2d_bandwidth() -> tuple:
     return single, parallel
 
 
+def _arm_deadline():
+    """Hard wall-clock deadline (BENCH_DEADLINE seconds, default 3300):
+    if the axon relay is down, backend init / the first transfer blocks
+    FOREVER and the driver records nothing. Emit a diagnosable JSON line
+    instead. Measured context: a healthy warm run takes ~4-12 min; the
+    worst recorded cold run (r02) took ~16 min; an August-17 relay
+    outage blocked even `jax.device_put(8 floats)` for 3+ hours."""
+    import threading
+
+    deadline = int(os.environ.get("BENCH_DEADLINE", 3300))
+    if deadline <= 0:
+        return
+    done = threading.Event()
+
+    def watchdog():  # pragma: no cover - infra failure path
+        # a thread, not SIGALRM: the hang mode is the main thread blocked
+        # inside the PJRT client's C++ dial loop, where a Python signal
+        # handler never gets to run
+        if not done.wait(deadline):
+            print(json.dumps({
+                "metric": "scoring_throughput",
+                "value": 0.0,
+                "unit": "wav-sec/sec/chip",
+                "vs_baseline": 0.0,
+                "detail": {"error": f"deadline {deadline}s exceeded — "
+                           "device backend unresponsive (relay outage?)"},
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watchdog, daemon=True,
+                     name="bench-deadline").start()
+    return done
+
+
 def main():
+    deadline_done = _arm_deadline()
     n_deg = int(os.environ.get("BENCH_N_DEG", 256))
     n_nmr = int(os.environ.get("BENCH_N_NMR", 32))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
@@ -354,6 +389,8 @@ def main():
             "n_devices": n_dev,
         },
     }
+    if deadline_done is not None:
+        deadline_done.set()  # healthy finish: disarm the watchdog
     print(json.dumps(result))
 
 
