@@ -26,6 +26,29 @@ _lib_lock = threading.Lock()
 _build_attempted = False
 
 
+def _cpu_signature() -> str:
+    """Host CPU feature signature: the library builds -march=native, so a
+    .so persisted in the workspace must be rebuilt when a later run lands
+    on a host with different features (same SIGILL class as the XLA
+    compile-cache machine-feature mismatch the bench once logged)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.sha256(
+                        " ".join(sorted(line.split(":", 1)[1].split()))
+                        .encode()
+                    ).hexdigest()[:16]
+    except OSError:
+        pass
+    return "unknown"
+
+
+_STAMP_PATH = _LIB_PATH + ".cpu"
+
+
 def _try_build() -> bool:
     global _build_attempted
     if _build_attempted:
@@ -38,6 +61,8 @@ def _try_build() -> bool:
             capture_output=True,
             timeout=120,
         )
+        with open(_STAMP_PATH, "w") as f:
+            f.write(_cpu_signature())
     except Exception:
         return False
     return os.path.isfile(_LIB_PATH)
@@ -59,6 +84,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     if os.path.getmtime(p) > so_mtime:
                         stale = True
                         break
+            if not stale:
+                # different host CPU than the one that built the .so:
+                # -march=native code could SIGILL — force a rebuild (make
+                # won't, the .so is newer than the sources)
+                try:
+                    with open(_STAMP_PATH) as f:
+                        stale = f.read().strip() != _cpu_signature()
+                except OSError:
+                    stale = True
+                if stale:
+                    try:
+                        os.remove(_LIB_PATH)
+                    except OSError:
+                        pass
         if (not os.path.isfile(_LIB_PATH) or stale) and not _try_build():
             if not os.path.isfile(_LIB_PATH):
                 return None
