@@ -576,8 +576,8 @@ class EmbeddingEngine:
         shape depends on the packed length, which depends on the data).
         A later batch that lands in a neighboring packed-length bucket
         pays one (persistently cached) compile."""
-        if self.wire_codec == "off" or not waves:
-            return
+        if self.wire_codec == "off" or not waves or self.mesh is not None:
+            return  # codec is single-device-path only (mesh _put ships raw)
         if self.wire_codec != "on" and jax.default_backend() != "tpu":
             return
         from ..ops import wirecodec
