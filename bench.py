@@ -230,9 +230,18 @@ def main():
     # tail shape cold-compiled inside the timed warmup)
     t0 = time.time()
     if mesh is None:
-        engine.prewarm((seconds,), counts=(n_deg + n_nmr,), single=False)
-        # decode executable for the wire codec's packed payloads
-        engine.prewarm_codec(deg + nmr)
+        # model-shape compiles and the codec's fused/decode compiles all
+        # ride the remote compile service concurrently (cost ~= slowest)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fs = [
+                ex.submit(engine.prewarm, (seconds,),
+                          counts=(n_deg + n_nmr,), single=False),
+                ex.submit(engine.prewarm_codec, deg + nmr),
+            ]
+            for f in fs:
+                f.result()
     # the distance-matrix shape too: a tiny compile, but through the
     # remote-compile service even tiny compiles cost a round trip
     np.asarray(cdist(np.zeros((n_deg, 256), np.float32),
