@@ -155,6 +155,14 @@ def _arm_deadline():
 
 def main():
     deadline_done = _arm_deadline()
+    # BENCH_PLATFORM=cpu: smoke the full bench off-TPU (the JAX_PLATFORMS
+    # env var can't override this environment's relay plugin pin; the
+    # config update can)
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", plat)
     n_deg = int(os.environ.get("BENCH_N_DEG", 256))
     n_nmr = int(os.environ.get("BENCH_N_NMR", 32))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
@@ -305,8 +313,9 @@ def main():
 
         sp = synth_speech_waves(n_deg + n_nmr, seconds)
         blen = bucket_length(len(sp[0]))
-        probe_batch = np.zeros((32, blen), np.int16)
-        for i in range(32):
+        k = min(32, len(sp))
+        probe_batch = np.zeros((k, blen), np.int16)
+        for i in range(k):
             probe_batch[i, : len(sp[i])] = sp[i]
         probe = wirecodec.encode(probe_batch)
         ratio = probe["nbytes"] / probe_batch.nbytes if probe else None
