@@ -416,7 +416,7 @@ class EmbeddingEngine:
         # round trips per batch — meta put + decode dispatch — and a ~1 s
         # RTT session saw packed win the byte race 1.06x while losing
         # end-to-end 2.8x.)
-        rows = wirecodec.combined_rows(enc_b)
+        rows = enc_b["rows"]  # frame already built by _encode_batch
         t0 = time.perf_counter()
         put_p = self._put_large(rows, mode)
         np.asarray(put_p[:1, :1])
