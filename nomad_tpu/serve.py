@@ -165,6 +165,16 @@ class NomadServer:
 
 def main(argv=None):
     import argparse
+    import os
+
+    # NOMAD_TPU_PLATFORM=cpu: run the service off-TPU (debugging, CI —
+    # the JAX_PLATFORMS env var cannot override this environment's relay
+    # plugin pin; the config update can)
+    plat = os.environ.get("NOMAD_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="base", choices=["base", "tiny"])

@@ -49,23 +49,29 @@ def request(proc, req: dict) -> tuple[dict, float]:
 def main():
     from nomad_tpu.io import write_wav
 
+    # smoke knobs: SERVE_BENCH_MODEL=tiny SERVE_BENCH_SECONDS=1
+    # NOMAD_TPU_PLATFORM=cpu exercises the full protocol off-TPU
+    model = os.environ.get("SERVE_BENCH_MODEL", "base")
+    secs = float(os.environ.get("SERVE_BENCH_SECONDS", 10))
+
     td = tempfile.mkdtemp(prefix="serve_bench_")
     nmr, deg = os.path.join(td, "nmr"), os.path.join(td, "deg")
     os.makedirs(nmr), os.makedirs(deg)
     for i in range(2):
-        write_wav(os.path.join(nmr, f"ref{i}.wav"), synth(10.0, i)[None],
+        write_wav(os.path.join(nmr, f"ref{i}.wav"), synth(secs, i)[None],
                   16000, bits=16)
     for i in range(8):
-        write_wav(os.path.join(deg, f"deg{i}.wav"), synth(10.0, 10 + i)[None],
+        write_wav(os.path.join(deg, f"deg{i}.wav"), synth(secs, 10 + i)[None],
                   16000, bits=16)
     newfile = os.path.join(td, "late.wav")
-    write_wav(newfile, synth(10.0, 99)[None], 16000, bits=16)
+    write_wav(newfile, synth(secs, 99)[None], 16000, bits=16)
     newfile2 = os.path.join(td, "late2.wav")
-    write_wav(newfile2, synth(10.0, 101)[None], 16000, bits=16)
+    write_wav(newfile2, synth(secs, 101)[None], 16000, bits=16)
 
     t_start = time.time()
     proc = subprocess.Popen(
-        [sys.executable, "-m", "nomad_tpu.serve", "--warm", "10"],
+        [sys.executable, "-m", "nomad_tpu.serve", "--model", model,
+         "--warm", str(secs)],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL, text=True, cwd=REPO,
     )
@@ -88,7 +94,7 @@ def main():
         # one new file against the warm NMR pool: the realistic
         # "score this incoming file" serving latency
         write_wav(os.path.join(deg, "deg8.wav"),
-                  np.asarray(np.clip(synth(10.0, 200), -0.99, 0.99))[None],
+                  np.asarray(np.clip(synth(secs, 200), -0.99, 0.99))[None],
                   16000, bits=16)
         _, newf = request(proc, {"op": "score", "nmr": nmr, "deg": deg,
                                  "results_path": None})
@@ -127,7 +133,11 @@ def main():
             # start (model load + per-file forward loop); see BASELINE.md
         },
     }
-    out = os.path.join(REPO, "SERVE_BENCH.json")
+    # smoke configs must not overwrite the chip artifact
+    smoke = model != "base" or os.environ.get("NOMAD_TPU_PLATFORM")
+    out = os.path.join(
+        REPO, "SERVE_BENCH_SMOKE.json" if smoke else "SERVE_BENCH.json"
+    )
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
