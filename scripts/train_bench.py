@@ -22,6 +22,13 @@ import time
 
 import numpy as np
 
+# NOMAD_TPU_PLATFORM=cpu: smoke the full cycle off-TPU (pair with
+# --out /tmp/... so the chip artifact isn't overwritten)
+if os.environ.get("NOMAD_TPU_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["NOMAD_TPU_PLATFORM"])
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
