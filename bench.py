@@ -35,6 +35,31 @@ import numpy as np
 
 CPU_BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_cpu_baseline.json")
 
+# Progress marker for the failure reporters: whichever stage was running
+# when the bench died (hang OR exception) lands in the diagnosable JSON's
+# detail, so a zero-value record still says WHERE it died. Round-3 lesson:
+# the relay outage produced a raw rc=1 traceback (backend-init exception,
+# a mode the hang watchdog never sees) and the driver recorded
+# `parsed: null` — the one thing the bench must never allow.
+_STAGE = {"name": "start"}
+
+
+def _stage(name: str) -> None:
+    _STAGE["name"] = name
+
+
+def _failure_json(error: str) -> str:
+    """The zero-value diagnosable record. Shape-identical to the healthy
+    record (metric/value/unit/vs_baseline + detail) so the driver's parser
+    accepts it either way."""
+    return json.dumps({
+        "metric": "scoring_throughput",
+        "value": 0.0,
+        "unit": "wav-sec/sec/chip",
+        "vs_baseline": 0.0,
+        "detail": {"error": error, "stage": _STAGE["name"]},
+    })
+
 
 def synth_waves(n: int, seconds: float, sr: int = 16000, seed: int = 0):
     rng = np.random.default_rng(seed)
@@ -138,19 +163,46 @@ def _arm_deadline():
         # inside the PJRT client's C++ dial loop, where a Python signal
         # handler never gets to run
         if not done.wait(deadline):
-            print(json.dumps({
-                "metric": "scoring_throughput",
-                "value": 0.0,
-                "unit": "wav-sec/sec/chip",
-                "vs_baseline": 0.0,
-                "detail": {"error": f"deadline {deadline}s exceeded — "
-                           "device backend unresponsive (relay outage?)"},
-            }), flush=True)
+            print(_failure_json(
+                f"deadline {deadline}s exceeded — device backend "
+                "unresponsive (relay outage?)"
+            ), flush=True)
             os._exit(2)
 
     threading.Thread(target=watchdog, daemon=True,
                      name="bench-deadline").start()
     return done
+
+
+def _init_backend():
+    """Initialize the JAX backend with bounded retry-with-backoff.
+
+    The round-3 relay outage had TWO failure modes: a hard hang inside the
+    PJRT dial loop (covered by the watchdog) and a fast *exception*
+    (`Unable to initialize backend 'axon'`) that crashed the bench with a
+    raw traceback before any JSON printed. Transient relay restarts recover
+    within a couple of minutes, so a failed init is retried with backoff up
+    to BENCH_INIT_RETRY_S seconds (default 480 — well inside the 3300 s
+    watchdog) before the exception propagates to the top-level reporter."""
+    import jax
+
+    budget = float(os.environ.get("BENCH_INIT_RETRY_S", 480))
+    delay, t0 = 5.0, time.time()
+    while True:
+        try:
+            jax.devices()
+            return jax.default_backend()
+        except Exception as e:
+            elapsed = time.time() - t0
+            if elapsed + delay > budget:
+                raise RuntimeError(
+                    f"backend init failed after {elapsed:.0f}s of retries: "
+                    f"{type(e).__name__}: {e}"
+                ) from e
+            print(f"[bench] backend init failed ({type(e).__name__}); "
+                  f"retrying in {delay:.0f}s", file=sys.stderr, flush=True)
+            time.sleep(delay)
+            delay = min(delay * 2, 120.0)
 
 
 def main():
@@ -175,7 +227,14 @@ def main():
     file_mode = os.environ.get("BENCH_FILE_MODE", "1") != "0"
 
     # CPU baseline first (torch must not see the TPU; it is CPU-only anyway)
+    _stage("cpu_baseline")
     baseline = measure_cpu_baseline(seconds)
+
+    # backend init BEFORE the compilation cache: enable_compilation_cache
+    # touches jax.default_backend(), which is where the r03 outage
+    # exception fired — init explicitly, with retry, under its own stage.
+    _stage("backend_init")
+    _init_backend()
 
     from nomad_tpu.utils.cache import enable_compilation_cache
 
@@ -203,6 +262,7 @@ def main():
 
         mesh = data_mesh()
 
+    _stage("model_init")
     mk = Wav2Vec2Config.fast if precision == "fast" else Wav2Vec2Config.base
     cfg = mk(attention_impl=attn)
     model = NomadModel(cfg, emb_dim=256)
@@ -227,6 +287,7 @@ def main():
         params = init(jax.random.key(0), jnp.zeros((1, 4000), jnp.float32))
         jax.block_until_ready(params)
 
+    _stage("prewarm")
     engine = EmbeddingEngine(model, params, mesh=mesh)
     deg = synth_waves(n_deg, seconds, seed=2)
     nmr = synth_waves(n_nmr, seconds, seed=3)
@@ -262,11 +323,13 @@ def main():
         dm = np.asarray(cdist(emb[:n_deg], emb[n_deg:]))
         return dm
 
+    _stage("warmup")
     t0 = time.time()
     dm = run()  # warmup + compile
     warm = time.time() - t0
     assert np.all(np.isfinite(dm))
 
+    _stage("steady")
     best = np.inf
     for _ in range(repeats):
         t0 = time.time()
@@ -277,11 +340,13 @@ def main():
     value = total_wav_sec / best / (n_dev if mesh is not None else 1)
 
     # --- secondary legs for the detail record ---
+    _stage("h2d_probe")
     h2d, h2d_par = measure_h2d_bandwidth()
 
     # compute-only ceiling: one resident bucket batch, run through the SAME
     # compiled executable and device params as the headline (no extra
     # compile, no extra param transfer — both burned minutes in round 2)
+    _stage("compute_leg")
     from nomad_tpu.scoring.engine import bucket_length
 
     blen = bucket_length(int(seconds * 16000))
@@ -307,6 +372,7 @@ def main():
     # which the wire codec packs to ~0.55-0.6x — and the pipeline is
     # wire-bound, so on speech the codec IS throughput. Measure raw vs
     # packed on the same speech payload under this session's weather.
+    _stage("speech_leg")
     speech_detail = None
     if mesh is None and os.environ.get("BENCH_SPEECH", "1") != "0":
         from nomad_tpu.ops import wirecodec
@@ -349,6 +415,7 @@ def main():
         engine.wire_codec = "auto"
         engine.reset_codec_race()
 
+    _stage("file_leg")
     file_wss = None
     if file_mode and mesh is None:
         from nomad_tpu.io import write_wav
@@ -369,6 +436,7 @@ def main():
                 fbest = min(fbest, time.time() - t0)
             file_wss = total_wav_sec / fbest
 
+    _stage("report")
     result = {
         "metric": "scoring_throughput",
         "value": round(value, 2),
@@ -397,6 +465,7 @@ def main():
             "codec_in_use": engine.transfer_stats()["codec_in_use"],
             "codec_race_MBps": engine.transfer_stats()["codec_race_MBps"],
             "codec_hits": engine.transfer_stats()["codec_hits"],
+            "codec_probe_ships": engine.transfer_stats()["codec_probe_ships"],
             "codec_saved_MB": engine.transfer_stats()["codec_saved_MB"],
             # raw-vs-packed on a speech-like payload (the representative
             # workload; the codec's ~0.6x ratio turns directly into
@@ -410,7 +479,29 @@ def main():
     if deadline_done is not None:
         deadline_done.set()  # healthy finish: disarm the watchdog
     print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("BENCH_FORCE_HANG") == "1":
+        # test hook for the watchdog path: simulate the relay's hang mode
+        # (main thread blocked forever) without a dead relay
+        _arm_deadline()
+        _stage("forced_hang")
+        import threading
+
+        threading.Event().wait()
+    try:
+        rc = main()
+    except BaseException as e:  # noqa: BLE001 - the reporter of last resort
+        if isinstance(e, KeyboardInterrupt):
+            raise
+        # the driver must ALWAYS get one parseable JSON line on stdout —
+        # round 3 recorded rc=1/parsed:null because an init exception
+        # bypassed the hang watchdog and crashed with a raw traceback
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(_failure_json(f"{type(e).__name__}: {e}"), flush=True)
+        rc = 3
+    sys.exit(rc)
