@@ -41,9 +41,16 @@ unverifiable offline — no pesq wheel, no network):
     uniform-in-bark bands, Terhardt's threshold-in-quiet approximation,
     correction factors 1.0 — instead of copied digit-for-digit from
     pesqpar.h;
-  * time alignment is a single global FFT cross-correlation instead of
-    §8's utterance-splitting alignment (the SE demo compares time-aligned
-    signals; variable-delay inputs would score slightly differently).
+Time alignment follows §8's utterance structure: speech-active utterances
+are detected on the reference, each utterance gets its own delay by
+windowed cross-correlation, and an utterance whose two halves disagree on
+delay is recursively SPLIT so a mid-utterance delay change (packet-loss
+concealment, jitter-buffer adaptation) aligns each side correctly — a
+single global cross-correlation (available as ``align='global'``) can only
+pick one delay and mis-scores every other region. The fine per-utterance
+estimator is the full-bandwidth waveform cross-correlation (the standard
+splits it into an envelope-based coarse stage + fine stage for speed;
+one FFT correlation over the ±max_delay window is equivalent here).
 """
 
 from __future__ import annotations
@@ -219,6 +226,210 @@ def _align(ref, deg, max_delay=SR // 2):
     return int(lags[int(np.argmax(vals))])
 
 
+# --- §8 utterance-structured alignment ---
+MIN_UTT_S = 0.3  # minimum utterance length (P.862 §8.2 joins shorter)
+MIN_GAP_S = 0.2  # silence gap that separates utterances
+SPLIT_DELAY_TOL = SR // 250  # 4 ms: delay jump that forces a split
+SPLIT_MAX_DEPTH = 4  # binary splitting -> 1/16-utterance resolution
+
+
+def _utterances(ref):
+    """Speech-active utterance intervals [(s, e) in samples) of the
+    reference: frames within 40 dB of the loudest frame are active; active
+    runs separated by less than MIN_GAP_S merge; runs shorter than
+    MIN_UTT_S join their neighbor (or drop when isolated)."""
+    pf = np.sum(_frame_powers(ref), axis=1)
+    if len(pf) == 0 or np.max(pf) <= 0:
+        return []
+    active = pf > np.max(pf) * 1e-4
+    # active frame runs -> sample intervals (frame i covers i*HOP..i*HOP+NFFT)
+    runs = []
+    i = 0
+    while i < len(active):
+        if active[i]:
+            j = i
+            while j + 1 < len(active) and active[j + 1]:
+                j += 1
+            runs.append([i * HOP, j * HOP + NFFT])
+            i = j + 1
+        else:
+            i += 1
+    if not runs:
+        return []
+    merged = [runs[0]]
+    gap = int(MIN_GAP_S * SR)
+    for s, e in runs[1:]:
+        if s - merged[-1][1] < gap:
+            merged[-1][1] = e
+        else:
+            merged.append([s, e])
+    # join short runs to the neighbor across the smaller gap (§8.2 joins
+    # sub-minimum utterances rather than dropping them — a dropped active
+    # chunk would fall to whichever neighboring delay the midpoint rule
+    # assigns, misaligning real speech)
+    min_len = int(MIN_UTT_S * SR)
+    while len(merged) > 1:
+        short = [i for i, (s, e) in enumerate(merged) if e - s < min_len]
+        if not short:
+            break
+        i = short[0]
+        left = merged[i][0] - merged[i - 1][1] if i > 0 else None
+        right = (
+            merged[i + 1][0] - merged[i][1] if i + 1 < len(merged) else None
+        )
+        if left is not None and (right is None or left <= right):
+            merged[i - 1][1] = merged[i][1]
+        else:
+            merged[i + 1][0] = merged[i][0]
+        del merged[i]
+    out = [(s, min(e, len(ref))) for s, e in merged if e - s >= min_len]
+    # everything short and isolated: fall back to one global utterance
+    return out or [(merged[0][0], min(merged[-1][1], len(ref)))]
+
+
+def _delay_in(ref, deg, s, e, max_delay):
+    """Delay of deg vs ref restricted to ref[s:e], searched over
+    ±max_delay by FFT cross-correlation against the corresponding deg
+    window. Returns (delay_samples, normalized_peak)."""
+    a = ref[s:e]
+    # fixed-extent window [s - max_delay, e + max_delay), ZERO-PADDED where
+    # it leaves the degraded signal: clipping the window at the signal edge
+    # instead would collapse one side of the lag range — an utterance
+    # ending at len(deg) could then never report a positive delay at all
+    lo, hi = s - max_delay, e + max_delay
+    b = np.zeros(hi - lo, deg.dtype)
+    blo, bhi = max(0, lo), min(len(deg), hi)
+    if bhi > blo:
+        b[blo - lo : bhi - lo] = deg[blo:bhi]
+    if len(a) < NFFT or not (np.any(a) and np.any(b)):
+        return 0, 0.0
+    m = 1 << int(math.ceil(math.log2(len(a) + len(b))))
+    fa = np.fft.rfft(a, m)
+    fb = np.fft.rfft(b, m)
+    # c[k] = sum_i a[i] * b[i + k] -> delay k - max_delay
+    c = np.fft.irfft(fb * np.conj(fa), m)
+    k = int(np.argmax(c[: 2 * max_delay + 1]))
+    denom = math.sqrt(float(np.sum(a * a)) * float(np.sum(b * b))) + 1e-30
+    return k - max_delay, float(c[k] / denom)
+
+
+def _quiet_split_point(ref, s, e):
+    """Best place to cut ref[s:e] in two: the QUIETEST frame, searched only
+    where BOTH resulting halves stay >= MIN_UTT_S (an unclamped search
+    drifts to the utterance's tapered edge and cuts off a near-silent
+    sliver whose delay estimate is noise). A delay change (jitter-buffer
+    adaptation, concealment) almost always happens in a pause; splitting
+    there leaves no misaligned active samples, where a blind midpoint can
+    land mid-phoneme."""
+    min_len = int(MIN_UTT_S * SR)
+    lo, hi = s + min_len, e - min_len
+    if hi <= lo:
+        return (s + e) // 2
+    pf = np.sum(_frame_powers(ref[s:e]), axis=1)
+    f_lo = max(0, (lo - s) // HOP)
+    f_hi = min(len(pf), (hi - s) // HOP + 1)
+    if f_hi <= f_lo:
+        return (s + e) // 2
+    i = f_lo + int(np.argmin(pf[f_lo:f_hi]))
+    return s + i * HOP + NFFT // 2
+
+
+def _aligned_spans(ref, deg, s, e, max_delay, depth=0):
+    """[(s, e, delay)] spans for ref[s:e]: recursively split while the two
+    halves disagree on delay by more than SPLIT_DELAY_TOL (§8.4 utterance
+    splitting — a delay change inside an utterance, e.g. from packet-loss
+    concealment, must not average into one wrong delay)."""
+    d, conf = _delay_in(ref, deg, s, e, max_delay)
+    if depth < SPLIT_MAX_DEPTH and (e - s) >= 2 * int(MIN_UTT_S * SR):
+        mid = _quiet_split_point(ref, s, e)
+        # a split is only trusted when BOTH halves carry active speech
+        # (within 40 dB of the utterance's loudest frame) — a silence-only
+        # half correlates on noise and returns an arbitrary delay
+        pf = np.sum(_frame_powers(ref[s:e]), axis=1)
+        fm = (mid - s) // HOP
+        gate = np.max(pf) * 1e-4
+        both_active = (
+            0 < fm < len(pf)
+            and np.max(pf[:fm]) > gate
+            and np.max(pf[fm:]) > gate
+        )
+        if both_active:
+            d1, _ = _delay_in(ref, deg, s, mid, max_delay)
+            d2, _ = _delay_in(ref, deg, mid, e, max_delay)
+            # A half's own delay must beat the JOINT delay decisively at
+            # that half (1.25x + 0.05 normalized-correlation margin).
+            # Periodic speech correlates almost as well at pitch-period
+            # aliases — without the margin a constant-delay utterance
+            # splits into a correct half and a pitch-aliased half. A real
+            # delay change passes easily: the joint delay explains the
+            # jumped half at near-zero correlation.
+            def _decisive(a, b, own, joint):
+                return own != joint and _corr_at(
+                    ref, deg, a, b, own
+                ) > 1.25 * _corr_at(ref, deg, a, b, joint) + 0.05
+
+            if abs(d1 - d2) > SPLIT_DELAY_TOL and (
+                _decisive(s, mid, d1, d) or _decisive(mid, e, d2, d)
+            ):
+                return _aligned_spans(
+                    ref, deg, s, mid, max_delay, depth + 1
+                ) + _aligned_spans(ref, deg, mid, e, max_delay, depth + 1)
+    return [(s, e, d)]
+
+
+def _corr_at(ref, deg, s, e, d):
+    """Normalized correlation of ref[s:e] against deg shifted by exactly
+    d — the per-hypothesis evidence the split decision compares."""
+    a = ref[s:e]
+    lo, hi = s + d, e + d
+    pad_lo = max(0, -lo)
+    lo, hi = max(0, lo), min(len(deg), hi)
+    if hi <= lo:
+        return 0.0
+    b = deg[lo:hi]
+    a = a[pad_lo : pad_lo + len(b)]
+    denom = math.sqrt(float(np.sum(a * a)) * float(np.sum(b * b))) + 1e-30
+    return float(np.dot(a, b) / denom)
+
+
+def _align_utterance(ref, deg, max_delay=SR // 2):
+    """§8-style alignment: per-utterance (recursively split) delays applied
+    span-wise, producing (ref_a, deg_a) on the reference's timeline.
+    Samples between utterances take the nearest span's delay. Timeline
+    edges the degraded signal cannot cover (a positive delay at the tail,
+    a negative delay at the head) are TRIMMED from both signals — the same
+    truncation the global path applies — never zero-filled, which would
+    read as distortion in an active tail."""
+    utts = _utterances(ref)
+    if not utts:
+        return ref, deg[: len(ref)]
+    spans = []
+    for s, e in utts:
+        spans.extend(_aligned_spans(ref, deg, s, e, max_delay))
+    # extend spans to cover the whole timeline (silence inherits the
+    # neighboring utterance's delay; disturbance there is weighted down by
+    # the active-frame gate anyway)
+    out = np.zeros(len(ref), ref.dtype)
+    valid_lo, valid_hi = 0, len(ref)
+    for i, (s, e, d) in enumerate(spans):
+        cs = 0 if i == 0 else (spans[i - 1][1] + s) // 2
+        ce = len(ref) if i == len(spans) - 1 else (e + spans[i + 1][0]) // 2
+        src_lo, src_hi = cs + d, ce + d
+        dst_lo, dst_hi = cs, ce
+        if src_lo < 0:
+            dst_lo += -src_lo
+            src_lo = 0
+        src_hi = min(src_hi, len(deg))
+        dst_hi = min(dst_hi, dst_lo + max(0, src_hi - src_lo))
+        if dst_hi > dst_lo:
+            out[dst_lo:dst_hi] = deg[src_lo : src_lo + (dst_hi - dst_lo)]
+        if i == 0:
+            valid_lo = dst_lo
+        if i == len(spans) - 1:
+            valid_hi = max(dst_hi, dst_lo)
+    return ref[valid_lo:valid_hi], out[valid_lo:valid_hi]
+
+
 def _loudness(bands):
     """Zwicker intensity->loudness (P.862 §10.2.7 / Annex A
     intensity_warping_of):
@@ -247,8 +458,13 @@ def _lp(x, p, axis=None):
     return (np.mean(np.abs(x) ** p, axis=axis)) ** (1.0 / p)
 
 
-def pesq_wb(ref, deg, sr: int = SR) -> float:
-    """PESQ MOS-LQO, wideband mode, for 1-D float waveforms in [-1, 1]."""
+def pesq_wb(ref, deg, sr: int = SR, align: str = "utterance") -> float:
+    """PESQ MOS-LQO, wideband mode, for 1-D float waveforms in [-1, 1].
+
+    ``align``: 'utterance' (default) = §8-style per-utterance delays with
+    recursive splitting on mid-utterance delay changes; 'global' = one
+    full-length cross-correlation delay (pre-round-4 behavior, kept for
+    comparison and for callers that guarantee constant delay)."""
     ref = np.asarray(ref, np.float64).ravel() * PCM_SCALE
     deg = np.asarray(deg, np.float64).ravel() * PCM_SCALE
     if sr != SR:
@@ -268,15 +484,18 @@ def pesq_wb(ref, deg, sr: int = SR) -> float:
     deg = _highpass_100(deg)
 
     # time alignment
-    d = _align(ref, deg)
-    if d >= 0:
-        ref_a, deg_a = ref, deg[d:]
-        ref_a = ref_a[: len(deg_a)]
-        deg_a = deg_a[: len(ref_a)]
+    if align == "utterance":
+        ref_a, deg_a = _align_utterance(ref, deg)
     else:
-        ref_a = ref[-d:]
-        deg_a = deg[: len(ref_a)]
-        ref_a = ref_a[: len(deg_a)]
+        d = _align(ref, deg)
+        if d >= 0:
+            ref_a, deg_a = ref, deg[d:]
+            ref_a = ref_a[: len(deg_a)]
+            deg_a = deg_a[: len(ref_a)]
+        else:
+            ref_a = ref[-d:]
+            deg_a = deg[: len(ref_a)]
+            ref_a = ref_a[: len(deg_a)]
     if len(ref_a) < NFFT:
         return 1.0
 

@@ -72,6 +72,39 @@ def test_delay_invariance(speech):
     assert pesq_wb(speech, np.roll(speech, 1600)) > 4.5  # 100 ms
 
 
+def test_utterance_split_alignment_recovers_delay_jump(speech):
+    """P.862 §8 utterance splitting: a MID-FILE delay jump (e.g. a jitter
+    buffer adapting between utterances) must not be scored as distortion.
+    A single global cross-correlation can only pick one of the two delays
+    — whichever utterance it sacrifices is then misaligned by 50 ms and
+    the score collapses; the split alignment recovers each utterance's own
+    delay and the (otherwise undistorted) score."""
+    n = len(speech)
+    half = n // 2
+    # ref: two utterances with a real silence gap between them
+    gap = int(0.4 * SR)
+    ref = np.concatenate([speech[:half], np.zeros(gap), speech[half:]])
+    # deg: first utterance on time, second delayed by 800 samples (50 ms)
+    d = 800
+    deg = ref.copy()
+    deg[half + gap :] = 0.0
+    deg[half + gap + d : n + gap] = ref[half + gap : n + gap - d]
+    jumped = pesq_wb(ref, deg)  # default: utterance alignment
+    glob = pesq_wb(ref, deg, align="global")
+    assert jumped > 4.3, (jumped, glob)
+    assert glob < jumped - 0.5, (jumped, glob)
+
+
+def test_utterance_alignment_matches_global_on_constant_delay(speech):
+    """On constant-delay material the two alignment modes must agree —
+    the split machinery may not invent delay structure."""
+    deg = np.roll(speech, 320)  # 20 ms constant delay
+    u = pesq_wb(speech, deg)
+    g = pesq_wb(speech, deg, align="global")
+    assert abs(u - g) < 0.1, (u, g)
+    assert u > 4.5
+
+
 def test_clipping_hurts(speech):
     hard = pesq_wb(speech, np.clip(speech, -0.05, 0.05))
     soft = pesq_wb(speech, np.clip(speech, -0.15, 0.15))
