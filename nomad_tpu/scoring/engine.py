@@ -83,15 +83,21 @@ def warm_wire_async() -> None:
     _wire_thread.start()
 
 
-def warm_wire_join(timeout: Optional[float] = None) -> None:
+def warm_wire_join(timeout: Optional[float] = None) -> bool:
     """Block until the background wire warm completes (starting it if
     needed). A SERVER calls this from its warmup so readiness means the
     data path is live — otherwise the one-time channel setup (minutes on
     bad relay weather) lands inside the first request's latency instead
-    of startup."""
+    of startup. Returns True when the warm round trip has completed
+    (trivially true off-TPU), False on timeout — on a dead relay the
+    caller must get a diagnosable answer, not block forever (advisor r3:
+    an unbounded join hung server startup for the documented 3+ hour
+    outage with no diagnostic)."""
     warm_wire_async()
     if _wire_thread is not None:
         _wire_thread.join(timeout)
+        return not _wire_thread.is_alive()
+    return True
 
 
 class EmbeddingLRU:
@@ -223,6 +229,7 @@ class EmbeddingEngine:
     wire_codec_max_ratio: float = 0.95
     _codec_hits: int = field(default=0, repr=False)
     _codec_skips: int = field(default=0, repr=False)
+    _codec_probe_ships: int = field(default=0, repr=False)
     _codec_saved_bytes: int = field(default=0, repr=False)
     # 'auto' decides EMPIRICALLY: the relay compresses raw PCM itself by a
     # weather-dependent amount (sometimes more than the codec's byte
@@ -460,8 +467,14 @@ class EmbeddingEngine:
         # (round 3, 28 packed ships before the EWMA converged back to raw).
         self._codec_decide()
         self._codec_puts_since_probe = 0
-        self._codec_hits += 1
-        self._codec_saved_bytes += batch[h:].nbytes - rows.nbytes
+        # Probe traffic is accounted separately from steady packed ships
+        # (advisor r3): a race fires on every payload regardless of the
+        # verdict, and on incompressible material the padded combined frame
+        # can be LARGER than the raw half — counting it as a codec hit with
+        # negative "saved" bytes overstated codec usage in transfer_stats.
+        self._codec_probe_ships += 1
+        if rows.nbytes < batch[h:].nbytes:
+            self._codec_saved_bytes += batch[h:].nbytes - rows.nbytes
         return jnp.concatenate([put_a, dec_b], axis=0)
 
     def _codec_decide(self) -> None:
@@ -609,12 +622,15 @@ class EmbeddingEngine:
                 # packed batch)
                 if key in self._aot:
                     return
+                from ..utils.cache import cached_compile_guard
+
                 fn = self._get_fn_packed(bsz, blen, rows_shape)
-                self._aot[key] = fn.lower(
-                    self._params_aval(),
-                    jax.ShapeDtypeStruct(rows_shape, jnp.uint32),
-                    jax.ShapeDtypeStruct((bsz,), jnp.int32),
-                ).compile()
+                with cached_compile_guard():
+                    self._aot[key] = fn.lower(
+                        self._params_aval(),
+                        jax.ShapeDtypeStruct(rows_shape, jnp.uint32),
+                        jax.ShapeDtypeStruct((bsz,), jnp.int32),
+                    ).compile()
                 self._compiled_keys.add(key)
 
             def warm_race_half():
@@ -650,8 +666,14 @@ class EmbeddingEngine:
         relay slow-start penalizes each mode equally over time."""
         h = batch.shape[0] // 2
         if h < 2 or batch.nbytes < 2 * self.parallel_put_min_bytes:
-            # too small to time both halves meaningfully; defer the probe
-            return self._put_large(batch, self._put_mode or "parallel")
+            # Too small to time both halves meaningfully: probe with WHOLE
+            # consecutive batches instead, alternating modes. A workload
+            # made only of such mid-size batches must still converge on a
+            # measured mode (advisor r3: this branch used to hardcode
+            # 'parallel' forever and re-enter itself on every put). The
+            # consecutive-batch probe's queueing bias is drained away by
+            # the readback on the previous put below.
+            return self._probe_put_whole(batch)
         if self._last_put is not None:
             try:
                 # true drain: block_until_ready through the relay returns
@@ -701,6 +723,39 @@ class EmbeddingEngine:
         ordered = parts_by_mode[order[0]] + parts_by_mode[order[1]]
         return jnp.concatenate(ordered, axis=0)
 
+    def _probe_put_whole(self, batch: np.ndarray):
+        """Whole-batch transfer-mode probe for batches too small to split
+        into two timeable halves: time THIS batch in one mode (alternating
+        between probes so each mode is sampled over time), EWMA-merge, and
+        decide once both modes have a reading. Slightly noisier than the
+        half-split probe — queueing bias is removed by draining the
+        previous put first — but it converges instead of pinning an
+        unmeasured default."""
+        mode = ("single", "parallel")[self._probe_count % 2]
+        if self._last_put is not None:
+            try:
+                np.asarray(jnp.ravel(self._last_put)[:1])
+            except Exception:  # pragma: no cover - already-deleted buffer
+                pass
+        t0 = time.perf_counter()
+        put = self._put_large(batch, mode)
+        np.asarray(put[:1, :1])  # readback bounds the wire
+        rate = batch.nbytes / max(time.perf_counter() - t0, 1e-9)
+        ewma = 0.5
+        old = self._put_probes.get(mode)
+        self._put_probes[mode] = rate if old is None else (
+            ewma * rate + (1.0 - ewma) * old
+        )
+        self._probe_count += 1
+        if len(self._put_probes) == 2:
+            prev = self._put_mode
+            self._put_mode = max(self._put_probes, key=self._put_probes.get)
+            self._put_interval = self._backoff(
+                self._put_interval, stable=self._put_mode == prev
+            )
+            self._puts_since_probe = 0
+        return put
+
     def transfer_stats(self) -> dict:
         """Chosen host->device mode + measured probe rates (MB/s, EWMA)."""
         return {
@@ -711,6 +766,7 @@ class EmbeddingEngine:
             },
             "codec_hits": self._codec_hits,
             "codec_skips": self._codec_skips,
+            "codec_probe_ships": self._codec_probe_ships,
             "codec_saved_MB": round(self._codec_saved_bytes / 1e6, 1),
             "codec_in_use": self._use_codec,
             "codec_race_MBps": {
@@ -836,13 +892,19 @@ class EmbeddingEngine:
         p_aval = self._params_aval()
 
         def warm(key):
+            from ..utils.cache import cached_compile_guard
+
             bsz, blen, i16 = key
             fn = self._get_fn(bsz, blen, i16)
             w = jax.ShapeDtypeStruct(
                 (bsz, blen), jnp.int16 if i16 else jnp.float32
             )
             l = jax.ShapeDtypeStruct((bsz,), jnp.int32)
-            self._aot[key] = fn.lower(p_aval, w, l).compile()
+            # guard: fails loudly if a cpu_compile_bypass is open — the
+            # process-global cache flag would silently un-cache this
+            # compile (utils/cache.py ordering contract)
+            with cached_compile_guard():
+                self._aot[key] = fn.lower(p_aval, w, l).compile()
             self._compiled_keys.add(key)
 
         with ThreadPoolExecutor(max_workers=min(4, len(keys))) as ex:

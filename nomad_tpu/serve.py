@@ -85,12 +85,23 @@ class NomadServer:
                 pass  # raw path is always available
         # don't report ready before the data path is live: the relay's
         # one-time d2h channel setup (36-430 s measured on bad weather)
-        # must land in startup, not in the first request's latency
+        # must land in startup, not in the first request's latency.
+        # BOUNDED join (NOMAD_WIRE_WARM_TIMEOUT s, default 600 — covers
+        # the worst measured healthy setup of 430 s): on a dead relay the
+        # server still comes up and reports wire_live=false instead of
+        # blocking startup forever with no diagnostic.
+        import os
+
         from .scoring.engine import warm_wire_join
 
-        warm_wire_join()
+        wire_live = warm_wire_join(
+            float(os.environ.get("NOMAD_WIRE_WARM_TIMEOUT", 600))
+        )
         total = round(time.time() - t0, 2)
-        return {str(s): total for s in seconds} | {"total": total}
+        return {str(s): total for s in seconds} | {
+            "total": total,
+            "wire_live": wire_live,
+        }
 
     def handle(self, req: dict) -> dict:
         op = req.get("op")

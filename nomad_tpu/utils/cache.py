@@ -106,24 +106,69 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     return cache_dir
 
 
+import threading
+
+_guard_lock = threading.Lock()
+_bypass_depth = 0
+_cached_compiles_inflight = 0
+
+
+@contextmanager
+def cached_compile_guard():
+    """Mark a persistent-cache-relevant compile (engine prewarm / AOT) as
+    in flight. Because :func:`cpu_compile_bypass` flips a PROCESS-GLOBAL
+    config flag, a TPU compile running concurrently with an open bypass
+    would silently skip the persistent cache — exactly the cold-start
+    pathology the cache exists to prevent. The guard turns that silent
+    ordering hazard into a loud error on whichever side arrives second."""
+    global _cached_compiles_inflight
+    with _guard_lock:
+        if _bypass_depth > 0:
+            raise RuntimeError(
+                "persistent-cache-relevant compile started while "
+                "cpu_compile_bypass is open: the compile would silently "
+                "skip the persistent cache. Order the host-side init "
+                "before any engine prewarm."
+            )
+        _cached_compiles_inflight += 1
+    try:
+        yield
+    finally:
+        with _guard_lock:
+            _cached_compiles_inflight -= 1
+
+
 @contextmanager
 def cpu_compile_bypass():
     """Disable the persistent compilation cache for the duration of a
     host-side (CPU-device) compile inside a TPU-backed process.
 
-    Not thread-safe w.r.t. concurrent TPU compiles: the config flag is
-    process-global, so concurrent prewarm compiles on another thread would
-    also skip the cache while the context is open. All call sites (param
-    init in api/bench/scripts) run before any engine prewarm starts.
+    The config flag is process-global, so this context must never overlap
+    a TPU compile that expects the persistent cache — call sites (param
+    init in api/bench/scripts) run before any engine prewarm starts, and
+    :func:`cached_compile_guard` enforces that ordering loudly in both
+    directions instead of relying on convention.
     """
+    global _bypass_depth
     import jax
 
     prev = jax.config.jax_compilation_cache_dir
     if prev is None:
         yield
         return
+    with _guard_lock:
+        if _cached_compiles_inflight > 0:
+            raise RuntimeError(
+                "cpu_compile_bypass opened while a persistent-cache-"
+                "relevant compile is in flight: that compile would "
+                "silently skip the persistent cache. Finish prewarm "
+                "before host-side CPU compiles, or drop the bypass."
+            )
+        _bypass_depth += 1
     jax.config.update("jax_compilation_cache_dir", None)
     try:
         yield
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        with _guard_lock:
+            _bypass_depth -= 1

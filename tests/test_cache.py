@@ -49,6 +49,69 @@ def test_cpu_compile_bypass_noop_when_cache_off():
     assert jax.config.jax_compilation_cache_dir is None
 
 
+def test_bypass_during_inflight_compile_fails_loudly(tmp_path):
+    """Opening cpu_compile_bypass while a persistent-cache-relevant compile
+    is in flight must raise, not silently un-cache the concurrent compile
+    (VERDICT r3 weak item 6: the flag is process-global)."""
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    try:
+        with cache_mod.cached_compile_guard():
+            with pytest.raises(RuntimeError, match="in flight"):
+                with cache_mod.cpu_compile_bypass():
+                    pass  # pragma: no cover
+        # guard released: bypass works again
+        with cache_mod.cpu_compile_bypass():
+            assert jax.config.jax_compilation_cache_dir is None
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_guarded_compile_during_open_bypass_fails_loudly(tmp_path):
+    """The reverse ordering: a prewarm compile starting while the bypass is
+    open would silently skip the cache — the guard raises instead."""
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+    try:
+        with cache_mod.cpu_compile_bypass():
+            with pytest.raises(RuntimeError, match="bypass"):
+                with cache_mod.cached_compile_guard():
+                    pass  # pragma: no cover
+        # both released: the guard admits compiles again
+        with cache_mod.cached_compile_guard():
+            pass
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_prewarm_compiles_ride_the_guard(monkeypatch):
+    """Engine prewarm's AOT compiles must run inside cached_compile_guard
+    so the ordering contract is enforced, not conventional."""
+    from contextlib import contextmanager
+
+    import numpy as np
+
+    from nomad_tpu.models import NomadModel, Wav2Vec2Config
+    from nomad_tpu.scoring.engine import EmbeddingEngine
+
+    entered = {"n": 0}
+
+    @contextmanager
+    def spy():
+        entered["n"] += 1
+        yield
+
+    monkeypatch.setattr(cache_mod, "cached_compile_guard", spy)
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), np.zeros((1, 4000), np.float32),
+        method=NomadModel.init_all,
+    )
+    eng = EmbeddingEngine(model, params)
+    eng.prewarm((0.25,), counts=(2,), single=False)
+    assert entered["n"] >= 1
+
+
 def test_init_params_runs_under_bypass(monkeypatch):
     """The host-side random init (a CPU-device compile even in a TPU
     process) must execute inside cpu_compile_bypass (VERDICT r2 item 2)."""

@@ -364,6 +364,55 @@ def test_transfer_mode_reprobes_periodically(tiny_setup, rng):
     assert set(stats["probes_MBps"]) == {"single", "parallel"}
 
 
+def test_midsize_batches_still_converge_on_a_mode(tiny_setup, rng):
+    """A workload made only of batches too small to split into two
+    timeable halves (parallel_put_min_bytes <= nbytes <
+    2*parallel_put_min_bytes) must still converge on a MEASURED transfer
+    mode via the whole-batch alternating probe — the r3 deferral branch
+    hardcoded 'parallel' forever and never set _put_mode (advisor
+    finding)."""
+    cfg, _oracle, model, params = tiny_setup
+    # 8 rows x 4000 f32 = 128 KB; threshold 100 KB -> mid-size band
+    engine = EmbeddingEngine(
+        model, params, parallel_put_min_bytes=100 * 1024, probe_interval=2
+    )
+    waves = [
+        (0.1 * rng.standard_normal(4000)).astype(np.float32)
+        for _ in range(8)
+    ]
+    for _ in range(3):
+        engine.embed_waves(waves)
+    stats = engine.transfer_stats()
+    assert stats["mode"] in ("single", "parallel")
+    assert set(stats["probes_MBps"]) == {"single", "parallel"}
+
+
+def test_codec_probe_accounting_separate_from_hits(tiny_setup, rng):
+    """The raw-vs-packed race counts its ships in codec_probe_ships, not
+    codec_hits, and never records NEGATIVE saved bytes (advisor r3: an
+    incompressible race payload whose padded frame exceeded the raw half
+    deflated codec_saved_MB)."""
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(
+        model, params, parallel_put_min_bytes=1024, wire_codec="auto"
+    )
+    # int16 waves on the PCM grid so the codec path is applicable;
+    # wire_codec='auto' on the CPU backend is inapplicable, so force the
+    # probe by calling it directly on a compressible batch. The rows must
+    # be LONG enough that the combined frame's row padding amortizes —
+    # at (8, 4096) the padded frame rounds up to exactly raw size and the
+    # engine (correctly) skips the race entirely.
+    batch = np.zeros((8, 32768), np.int16)
+    batch[:, :16384] = (
+        200 * np.sin(np.arange(16384) / 8.0)[None, :]
+    ).astype(np.int16)
+    engine._probe_codec(batch)
+    stats = engine.transfer_stats()
+    assert stats["codec_probe_ships"] == 1
+    assert stats["codec_hits"] == 0
+    assert engine._codec_saved_bytes >= 0
+
+
 def test_remap_to_compiled_logic():
     """pad_to_compiled planning: a never-compiled shape pads up to the
     SMALLEST covering compiled shape; shapes planned in the same call
