@@ -174,35 +174,80 @@ def _arm_deadline():
     return done
 
 
-def _init_backend():
-    """Initialize the JAX backend with bounded retry-with-backoff.
+_PROBE_SRC = """\
+import os, time
+if os.environ.get("BENCH_FORCE_INIT_HANG") == "1":
+    time.sleep(10**6)  # test hook: simulate the PJRT dial-loop hang
+import jax
+p = os.environ.get("BENCH_PLATFORM")
+if p:
+    jax.config.update("jax_platforms", p)
+jax.devices()
+print("BENCH_PROBE_OK")
+"""
 
-    The round-3 relay outage had TWO failure modes: a hard hang inside the
-    PJRT dial loop (covered by the watchdog) and a fast *exception*
-    (`Unable to initialize backend 'axon'`) that crashed the bench with a
-    raw traceback before any JSON printed. Transient relay restarts recover
-    within a couple of minutes, so a failed init is retried with backoff up
-    to BENCH_INIT_RETRY_S seconds (default 480 — well inside the 3300 s
-    watchdog) before the exception propagates to the top-level reporter."""
+
+def _probe_backend_subprocess(timeout_s: float):
+    """Probe backend init in a KILLABLE subprocess; returns (ok, error).
+
+    The relay's worst failure mode is a hard *hang* inside the PJRT
+    client's C++ dial loop — uninterruptible in-process (no Python signal
+    handler ever runs; round-3 measured `jax.devices()` blocking 3+ hours).
+    A subprocess can simply be killed at the timeout, turning the hang
+    into a retryable, diagnosable failure."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, (f"probe hang: jax.devices() blocked > {timeout_s:.0f}s "
+                       "in a subprocess (relay outage?)")
+    if proc.returncode == 0 and "BENCH_PROBE_OK" in proc.stdout:
+        return True, None
+    tail = [ln for ln in (proc.stderr or proc.stdout).strip().splitlines()
+            if ln.strip()]
+    return False, (tail[-1] if tail else f"probe rc={proc.returncode}")
+
+
+def _init_backend():
+    """Initialize the JAX backend with bounded, hang-proof retries.
+
+    The relay outages (rounds 3-4) showed THREE init failure modes: a fast
+    exception (`Unable to initialize backend 'axon'` — crashed r03 with a
+    raw traceback before any JSON printed), a hard in-process hang (only
+    the 3300 s watchdog would have caught it), and flapping (recovers
+    within minutes). Probing in a killable subprocess handles all three:
+    each attempt is bounded by BENCH_INIT_PROBE_TIMEOUT_S (default 300),
+    attempts retry with backoff up to BENCH_INIT_RETRY_S seconds total
+    (default 480 — well inside the watchdog), and only after a probe
+    SUCCEEDS does the in-process init run (fast once the relay answers;
+    the watchdog still covers a relay dying in that window)."""
+    budget = float(os.environ.get("BENCH_INIT_RETRY_S", 480))
+    probe_timeout = float(os.environ.get("BENCH_INIT_PROBE_TIMEOUT_S", 300))
+    delay, t0, last_err = 5.0, time.time(), "no probe ran"
+    while True:
+        remaining = budget - (time.time() - t0)
+        if remaining <= 0:
+            raise RuntimeError(
+                f"backend init failed after {time.time() - t0:.0f}s of "
+                f"probes: {last_err}"
+            )
+        ok, last_err = _probe_backend_subprocess(
+            min(probe_timeout, max(remaining, 10.0))
+        )
+        if ok:
+            break
+        print(f"[bench] backend probe failed ({last_err}); retrying in "
+              f"{delay:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(min(delay, max(0.0, budget - (time.time() - t0))))
+        delay = min(delay * 2, 120.0)
     import jax
 
-    budget = float(os.environ.get("BENCH_INIT_RETRY_S", 480))
-    delay, t0 = 5.0, time.time()
-    while True:
-        try:
-            jax.devices()
-            return jax.default_backend()
-        except Exception as e:
-            elapsed = time.time() - t0
-            if elapsed + delay > budget:
-                raise RuntimeError(
-                    f"backend init failed after {elapsed:.0f}s of retries: "
-                    f"{type(e).__name__}: {e}"
-                ) from e
-            print(f"[bench] backend init failed ({type(e).__name__}); "
-                  f"retrying in {delay:.0f}s", file=sys.stderr, flush=True)
-            time.sleep(delay)
-            delay = min(delay * 2, 120.0)
+    jax.devices()
+    return jax.default_backend()
 
 
 def main():

@@ -20,8 +20,13 @@ BENCH = os.path.join(REPO, "bench.py")
 def _run(env_extra, timeout=180):
     env = dict(os.environ)
     # the conftest pins JAX_PLATFORMS=cpu for the suite; the bench
-    # subprocess must pick its own platform per test
+    # subprocess must pick its own platform per test. PYTHONPATH is
+    # dropped so the environment's axon sitecustomize (whose import-time
+    # relay registration can itself block on an outage) can't leak into
+    # these hermetic failure-mode tests; bench runs with cwd=REPO so the
+    # package imports without it.
     env.pop("JAX_PLATFORMS", None)
+    env.pop("PYTHONPATH", None)
     env.update(env_extra)
     return subprocess.run(
         [sys.executable, BENCH],
@@ -65,6 +70,23 @@ def test_hang_watchdog_emits_diagnosable_json():
     assert rec["value"] == 0.0
     assert "deadline" in rec["detail"]["error"]
     assert rec["detail"]["stage"] == "forced_hang"
+
+
+def test_init_hang_emits_diagnosable_json():
+    """The round-4 relay mode: jax.devices() HANGS (rather than raising).
+    The subprocess probe must kill the hung attempt at its timeout and,
+    once the retry budget is spent, surface a diagnosable 'probe hang'
+    failure — in seconds, not the 3300 s watchdog deadline."""
+    proc = _run({
+        "BENCH_FORCE_INIT_HANG": "1",
+        "BENCH_INIT_RETRY_S": "4",
+    }, timeout=120)
+    assert proc.returncode == 3, proc.stderr[-2000:]
+    rec = _last_json_line(proc.stdout)
+    assert rec["value"] == 0.0
+    assert rec["detail"]["stage"] == "backend_init"
+    assert "probe hang" in rec["detail"]["error"]
+    assert "Traceback" not in proc.stdout
 
 
 def test_mid_run_exception_reports_failing_stage():
