@@ -117,6 +117,23 @@ class Wav2Vec2Config:
     # (q/k/v/out projections + score/AV matmuls) vs feed-forward (fc1/fc2)
     attn_precision: Any = None
     ffn_precision: Any = None
+    # finest islands (round-4 ladder, None -> enclosing island): the
+    # round-2 study's coarse islands all broke the 1e-3 pairwise budget
+    # individually; these resolve WHICH matmul inside each island carries
+    # the error (scripts/precision_ladder.py measures them on-chip)
+    attn_score_precision: Any = None   # QK^T + AV matmuls
+    ffn1_precision: Any = None         # fc1 (d -> 4d)
+    ffn2_precision: Any = None         # fc2 (4d -> d)
+    posconv_precision: Any = None      # positional conv embedding
+    featproj_precision: Any = None     # post_extract_proj dense
+    # per-layer-range split: encoder layers with index >= encoder_tail_start
+    # run ALL their matmuls at encoder_tail_precision (overriding the
+    # attn/ffn islands inside the tail); earlier layers are unchanged.
+    # Rationale: error injected early is amplified by every later block,
+    # so the tail tolerates cheaper arithmetic than the head. -1 disables.
+    # Only supported with remat=False (the scoring path).
+    encoder_tail_start: int = -1
+    encoder_tail_precision: Any = None
     layernorm_impl: str = "xla"     # 'xla' | 'pallas' (fused kernel)
 
     @property
@@ -138,6 +155,31 @@ class Wav2Vec2Config:
     @property
     def ffn_prec(self):
         return self.ffn_precision or self.encoder_prec
+
+    @property
+    def attn_score_prec(self):
+        return self.attn_score_precision or self.attn_prec
+
+    @property
+    def ffn1_prec(self):
+        return self.ffn1_precision or self.ffn_prec
+
+    @property
+    def ffn2_prec(self):
+        return self.ffn2_precision or self.ffn_prec
+
+    @property
+    def posconv_prec(self):
+        return self.posconv_precision or self.frontend_prec
+
+    @property
+    def featproj_prec(self):
+        return self.featproj_precision or self.frontend_prec
+
+    @property
+    def tail_split(self) -> bool:
+        return (self.encoder_tail_start >= 0
+                and self.encoder_tail_precision is not None)
 
     @classmethod
     def fast(cls, **kw) -> "Wav2Vec2Config":
@@ -170,6 +212,19 @@ class Wav2Vec2Config:
                 "layerdrop is a documented divergence (PARITY.md) and is "
                 "not implemented; set layerdrop=0"
             )
+        if self.encoder_tail_start >= 0 and self.encoder_tail_precision:
+            if self.remat:
+                raise NotImplementedError(
+                    "encoder_tail_precision composes nn.cond inside the "
+                    "layer scan; remat=True (training) is not supported — "
+                    "the split is a scoring-path feature"
+                )
+            if self.encoder_tail_start >= self.num_layers:
+                raise ValueError(
+                    f"encoder_tail_start {self.encoder_tail_start} >= "
+                    f"num_layers {self.num_layers}: tail split selects no "
+                    "layer; set -1 to disable"
+                )
 
     @classmethod
     def base(cls, **kw) -> "Wav2Vec2Config":
@@ -355,8 +410,15 @@ class EncoderLayer(nn.Module):
     config: Wav2Vec2Config
 
     @nn.compact
-    def __call__(self, x, key_mask=None, deterministic: bool = True):
+    def __call__(self, x, key_mask=None, deterministic: bool = True,
+                 prec_override=None):
         cfg = self.config
+        # prec_override (a static string) replaces EVERY precision island in
+        # this block — the encoder tail split routes late layers here
+        attn_prec = prec_override or cfg.attn_prec
+        score_prec = prec_override or cfg.attn_score_prec
+        ffn1_prec = prec_override or cfg.ffn1_prec
+        ffn2_prec = prec_override or cfg.ffn2_prec
         h = cfg.num_heads
         d = cfg.hidden_size
         head_dim = d // h
@@ -374,7 +436,7 @@ class EncoderLayer(nn.Module):
         use_fused = cfg.attention_impl == "fused_qkv" and (
             deterministic or cfg.attention_dropout == 0.0
         )
-        with jax.default_matmul_precision(cfg.attn_prec):
+        with jax.default_matmul_precision(attn_prec):
             if use_fused:
                 # projection-fused Pallas attention: q/k/v projections +
                 # masked softmax run in one kernel (no HBM q/k/v, scores,
@@ -387,10 +449,12 @@ class EncoderLayer(nn.Module):
                 wk, bk = _ProjParams(d, d, name="k_proj")()
                 wv, bv = _ProjParams(d, d, name="v_proj")()
                 wo, bo = _ProjParams(d, d, name="out_proj")()
+                # the fused kernel has ONE precision mode for the whole
+                # block (attn_score_precision does not subdivide it)
                 mode = {
                     "high": "high3", "default": "default",
                     "highest": "highest",
-                }[cfg.attn_prec]
+                }[attn_prec]
                 attn = fused_qkv_attention(
                     x, wq, bq, wk, bk, wv, bv, wo, bo,
                     key_mask=key_mask, heads=h, mode=mode,
@@ -405,30 +469,33 @@ class EncoderLayer(nn.Module):
                 v = dense(d, name="v_proj")(x).reshape(
                     x.shape[0], x.shape[1], h, head_dim
                 )
-                if not deterministic and cfg.attention_dropout > 0.0:
-                    # dropout on attention weights needs the einsum path
-                    attn = mha_xla_dropout(
-                        q,
-                        k,
-                        v,
-                        key_mask,
-                        rate=cfg.attention_dropout,
-                        rng=self.make_rng("dropout"),
-                    )
-                else:
-                    attn = mha(
-                        q, k, v, key_mask=key_mask, impl=cfg.attention_impl
-                    )
+                with jax.default_matmul_precision(score_prec):
+                    if not deterministic and cfg.attention_dropout > 0.0:
+                        # dropout on attention weights needs the einsum path
+                        attn = mha_xla_dropout(
+                            q,
+                            k,
+                            v,
+                            key_mask,
+                            rate=cfg.attention_dropout,
+                            rng=self.make_rng("dropout"),
+                        )
+                    else:
+                        attn = mha(
+                            q, k, v, key_mask=key_mask,
+                            impl=cfg.attention_impl,
+                        )
                 attn = attn.reshape(x.shape[0], x.shape[1], d)
                 attn = dense(d, name="out_proj")(attn)
         attn = nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
         x = ln(name="self_attn_layer_norm")(residual + attn)
 
         residual = x
-        with jax.default_matmul_precision(cfg.ffn_prec):
+        with jax.default_matmul_precision(ffn1_prec):
             y = dense(cfg.ffn_dim, name="fc1")(x)
-            y = jax.nn.gelu(y, approximate=False)
-            y = nn.Dropout(cfg.activation_dropout)(y, deterministic=deterministic)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dropout(cfg.activation_dropout)(y, deterministic=deterministic)
+        with jax.default_matmul_precision(ffn2_prec):
             y = dense(d, name="fc2")(y)
         y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
         x = ln(name="final_layer_norm")(residual + y)
@@ -438,29 +505,49 @@ class EncoderLayer(nn.Module):
 
 
 class _ScannedLayer(nn.Module):
-    """scan body: carry = hidden states, per-step output = layer result."""
+    """scan body: carry = (hidden states, layer index), per-step output =
+    layer result. The index drives the optional encoder tail split."""
 
     config: Wav2Vec2Config
 
     @nn.compact
-    def __call__(self, x, key_mask, deterministic):
+    def __call__(self, carry, key_mask, deterministic):
+        x, idx = carry
+        cfg = self.config
         layer = EncoderLayer
-        if self.config.remat:
+        if cfg.remat:
             policy = None
-            if self.config.remat_policy == "dots":
+            if cfg.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_saveable
-            elif self.config.remat_policy != "full":
+            elif cfg.remat_policy != "full":
                 raise ValueError(
-                    f"unknown remat_policy {self.config.remat_policy!r}: "
+                    f"unknown remat_policy {cfg.remat_policy!r}: "
                     "expected 'full' or 'dots'"
                 )
             layer = nn.remat(EncoderLayer, static_argnums=(3,), policy=policy)
-            out = layer(self.config, name="layer")(x, key_mask, deterministic)
+            out = layer(cfg, name="layer")(x, key_mask, deterministic)
+        elif cfg.tail_split:
+            # per-layer-range precision: one shared module traced through
+            # BOTH branches of a lifted cond (same params either way; TPU
+            # executes only the taken branch, so MXU time per step is the
+            # selected recipe's). jax.default_matmul_precision is a
+            # trace-time context, so each branch bakes its own precision.
+            mod = layer(cfg, name="layer")
+
+            def head_fn(m, h):
+                return m(h, key_mask=key_mask, deterministic=deterministic)
+
+            def tail_fn(m, h):
+                return m(h, key_mask=key_mask, deterministic=deterministic,
+                         prec_override=cfg.encoder_tail_precision)
+
+            out = nn.cond(idx < cfg.encoder_tail_start, head_fn, tail_fn,
+                          mod, x)
         else:
-            out = layer(self.config, name="layer")(
+            out = layer(cfg, name="layer")(
                 x, key_mask=key_mask, deterministic=deterministic
             )
-        return out, out
+        return (out, idx + 1), out
 
 
 class TransformerEncoder(nn.Module):
@@ -479,7 +566,7 @@ class TransformerEncoder(nn.Module):
             key_mask = jnp.arange(x.shape[1])[None, :] < frame_lengths[:, None]
             x = x * key_mask.astype(x.dtype)[:, :, None]
 
-        with jax.default_matmul_precision(cfg.frontend_prec):
+        with jax.default_matmul_precision(cfg.posconv_prec):
             x = x + PositionalConvEmbedding(cfg, name="pos_conv")(x)
             x = LayerNormOp(
                 cfg.hidden_size,
@@ -500,8 +587,10 @@ class TransformerEncoder(nn.Module):
             length=cfg.num_layers,
         )(cfg, name="layers")
         with jax.default_matmul_precision(cfg.encoder_prec):
-            _, layer_outs = scanned(x.astype(cfg.block_dtype), key_mask,
-                                    deterministic)
+            _, layer_outs = scanned(
+                (x.astype(cfg.block_dtype), jnp.int32(0)), key_mask,
+                deterministic,
+            )
         return layer_outs  # [L, B, T, C]
 
 
@@ -535,6 +624,7 @@ class Wav2Vec2Model(nn.Module):
                 impl=cfg.layernorm_impl,
                 name="feature_layer_norm",
             )(feats)
+        with jax.default_matmul_precision(cfg.featproj_prec):
             x = nn.Dense(
                 cfg.hidden_size,
                 dtype=cfg.dtype,

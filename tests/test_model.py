@@ -217,3 +217,45 @@ def test_dropout_training_mode(tiny):
     e3 = model.apply(params, wav)
     e4 = model.apply(params, wav)
     np.testing.assert_array_equal(np.asarray(e3), np.asarray(e4))
+
+
+def test_precision_islands_structurally_inert(tiny):
+    """The round-4 finest islands + encoder tail split (scripts/
+    precision_ladder.py) must be pure precision annotations: on CPU (where
+    XLA ignores dot precision) every recipe is bit-identical to the plain
+    path, the param tree is unchanged (checkpoint compat), and the
+    tail-split cond machinery adds no numeric structure of its own."""
+    cfg, model, params, wav = tiny
+    base = np.asarray(model.apply(params, wav))
+
+    finest = NomadModel(
+        Wav2Vec2Config.tiny(
+            attn_score_precision="highest",
+            ffn1_precision="highest",
+            ffn2_precision="high",
+            posconv_precision="highest",
+            featproj_precision="highest",
+        ),
+        emb_dim=16,
+    )
+    np.testing.assert_array_equal(np.asarray(finest.apply(params, wav)), base)
+
+    split_cfg = Wav2Vec2Config.tiny(
+        encoder_tail_start=1, encoder_tail_precision="default"
+    )
+    split = NomadModel(split_cfg, emb_dim=16)
+    np.testing.assert_array_equal(np.asarray(split.apply(params, wav)), base)
+
+    p2 = split.init(jax.random.key(0), wav, method=NomadModel.init_all)
+    assert jax.tree.map(lambda a: a.shape, p2) == jax.tree.map(
+        lambda a: a.shape, params
+    )
+
+
+def test_encoder_tail_split_validation():
+    with pytest.raises(ValueError, match="encoder_tail_start"):
+        Wav2Vec2Config.tiny(encoder_tail_start=2,
+                            encoder_tail_precision="default")
+    with pytest.raises(NotImplementedError, match="remat"):
+        Wav2Vec2Config.tiny(encoder_tail_start=1,
+                            encoder_tail_precision="default", remat=True)
