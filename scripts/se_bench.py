@@ -55,9 +55,13 @@ def build_corpus(work: str, n_train: int, snr_db: float, seconds: float):
         for i in range(n):
             x = speech_like(1, seconds, sr=sr, seed=seed, dtype=np.float32)[0]
             rng = np.random.default_rng(10_000 + seed)
+            # per-file SNR jitter (+-4 dB): a single fixed SNR makes the
+            # denoiser memorize one noise floor and overfit a small train
+            # split within an epoch; Valentini itself mixes SNRs per file
+            file_snr = snr_db + rng.uniform(-4.0, 4.0)
             nse = rng.standard_normal(x.shape).astype(np.float32)
             nse *= np.sqrt(np.mean(x**2) / np.mean(nse**2)) / 10 ** (
-                snr_db / 20
+                file_snr / 20
             )
             write_wav(os.path.join(cdir, f"f{i:03d}.wav"), x[None], sr,
                       bits=16)
@@ -68,37 +72,57 @@ def build_corpus(work: str, n_train: int, snr_db: float, seconds: float):
     return dirs
 
 
-def run_variant(cfg: dict, nomad, epochs: int, test_every: int) -> dict:
+def run_variant(cfg: dict, nomad, epochs: int, test_every: int,
+                patience: int) -> dict:
     """One training run; returns the PESQ-WB curve + wall time. Epoch seeds
     and the U-Net init are fixed inside SpeechEnhancement, so the two
-    variants see identical data order and identical initial weights."""
+    variants see identical data order and identical initial weights.
+
+    Protocol matches the reference's loop (`nomad_loss_test.py:126-156`):
+    the BEST-valid-loss checkpoint is kept (patience early stop) and the
+    headline per variant is that best model's test PESQ — the reference's
+    2.39/2.60 are best-model numbers, and a final-epoch score on a small
+    synthetic corpus mostly measures how far past the early-stop point the
+    run overtrained (the round-4 CPU smoke's final PESQ sat BELOW init)."""
+    import jax
+
     from nomad_tpu.training.se import SpeechEnhancement
 
     se = SpeechEnhancement(dict(cfg), nomad=nomad)
     noisy_pesq = se.test()  # epoch-0 floor: the un-enhanced U-Net output
     curve = []
     best_valid = np.inf
-    best_pesq = None
+    best_state = None
+    counter = 0
     t0 = time.time()
     for i in range(epochs):
         train_loss = se.train(seed=i)
         valid_loss = se.eval()
         entry = {"epoch": i + 1, "train_loss": round(float(train_loss), 6),
                  "valid_loss": round(float(valid_loss), 6)}
+        if valid_loss < best_valid:
+            best_valid = float(valid_loss)
+            best_state = (jax.device_get(se.params),
+                          jax.device_get(se.batch_stats))
+            counter = 0
+        else:
+            counter += 1
         if (i + 1) % test_every == 0 or i == epochs - 1:
             res = se.test()
             entry[res["metric"]] = round(float(res["value"]), 4)
-            if valid_loss < best_valid or best_pesq is None:
-                best_pesq = float(res["value"])
-        if valid_loss < best_valid:
-            best_valid = float(valid_loss)
         curve.append(entry)
+        if counter > patience:
+            curve.append({"early_stop_after_epoch": i + 1})
+            break
     final = se.test()
+    se.params, se.batch_stats = best_state
+    best = se.test()
     return {
         "init_test": round(float(noisy_pesq["value"]), 4),
         "metric": final["metric"],
         "final": round(float(final["value"]), 4),
-        "best": round(float(best_pesq), 4) if best_pesq is not None else None,
+        "best": round(float(best["value"]), 4),
+        "best_valid_loss": round(best_valid, 6),
         "curve": curve,
         "wall_s": round(time.time() - t0, 1),
     }
@@ -108,8 +132,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--test-every", type=int, default=2)
+    ap.add_argument("--patience", type=int, default=4)
     ap.add_argument("--model", choices=("tiny", "base"), default="base")
-    ap.add_argument("--files", type=int, default=24)
+    ap.add_argument("--files", type=int, default=48)
     ap.add_argument("--snr", type=float, default=8.0)
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--bs", type=int, default=8)
@@ -148,12 +173,14 @@ def main():
         for name, w in (("mse", 0.0), ("mse_nomad", args.nomad_weight)):
             runs[name] = run_variant(
                 dict(cfg, nomad_weight=w), nomad, args.epochs,
-                args.test_every,
+                args.test_every, args.patience,
             )
-            print(f"[se_bench] {name}: final={runs[name]['final']} "
-                  f"({runs[name]['metric']})", file=sys.stderr)
+            print(f"[se_bench] {name}: best={runs[name]['best']} "
+                  f"final={runs[name]['final']} ({runs[name]['metric']})",
+                  file=sys.stderr)
 
-    delta = runs["mse_nomad"]["final"] - runs["mse"]["final"]
+    # the reference's 2.39 -> 2.60 claim compares BEST-checkpoint PESQ
+    delta = runs["mse_nomad"]["best"] - runs["mse"]["best"]
     result = {
         "metric": "se_nomad_pesq_delta",
         "value": round(delta, 4),
