@@ -50,12 +50,30 @@ def _span_stats():
 
 
 def synth(n, seconds, seed):
+    """LS_PAYLOAD picks the material: 'tone' (steady tone + broadband
+    noise — nearly incompressible, the codec races and correctly settles
+    raw) or 'speech' (pause-heavy pitch-modulated harmonics, the
+    representative workload: the wire codec packs it to ~0.55-0.6x, which
+    on a wire-bound pipeline is throughput). Round-3's artifact only ever
+    measured 'tone', so the codec never showed in a driver artifact."""
     rng = np.random.default_rng(seed)
     t = np.arange(int(seconds * 16000)) / 16000
+    speech = os.environ.get("LS_PAYLOAD", "tone") == "speech"
     out = []
     for i in range(n):
         f0 = 80.0 + 40.0 * rng.random()
-        x = 0.1 * np.sin(2 * np.pi * f0 * t) + 0.02 * rng.standard_normal(t.shape)
+        if speech:
+            ph = np.cumsum(
+                2 * np.pi * f0 * (1 + 0.08 * np.sin(2 * np.pi * 2.7 * t)) / 16000
+            )
+            x = sum(np.sin(k * ph) / k for k in range(1, 5))
+            env = np.clip(
+                np.sin(2 * np.pi * (0.6 + 0.6 * rng.random()) * t
+                       + 6 * rng.random()), 0, 1,
+            )
+            x = 0.2 * x * env + 0.004 * rng.standard_normal(t.shape)
+        else:
+            x = 0.1 * np.sin(2 * np.pi * f0 * t) + 0.02 * rng.standard_normal(t.shape)
         out.append(np.round(np.clip(x, -0.99, 0.99) * 32768).astype(np.int16))
     return out
 
@@ -130,8 +148,11 @@ def main():
             "put_probe_MBps": tstats["probes_MBps"],
             # lossless wire codec: whether the raw-vs-packed race settled
             # on packed for this session's weather, and the bytes it saved
+            "payload": os.environ.get("LS_PAYLOAD", "tone"),
             "codec_in_use": tstats["codec_in_use"],
             "codec_race_MBps": tstats["codec_race_MBps"],
+            "codec_hits": tstats["codec_hits"],
+            "codec_probe_ships": tstats["codec_probe_ships"],
             "codec_saved_MB": tstats["codec_saved_MB"],
             # where the wall went (span registry): submit = assemble+put+
             # dispatch, collect = grouped readbacks
