@@ -351,9 +351,10 @@ class EmbeddingEngine:
                 or self._codec_puts_since_probe
                 >= (self._codec_interval or self.probe_interval)
             ):
-                wave_dev = self._probe_codec(
-                    batch, enc if isinstance(enc, dict) else None
-                )
+                with timed("engine.put.codec_race", nbytes=batch.nbytes):
+                    wave_dev = self._probe_codec(
+                        batch, enc if isinstance(enc, dict) else None
+                    )
                 use = False  # probe already shipped the batch
             else:
                 use = self._use_codec
@@ -362,7 +363,8 @@ class EmbeddingEngine:
                 packed = self._put_packed(
                     batch, enc=enc if isinstance(enc, dict) else None
                 )
-        len_dev = jax.device_put(lengths.astype(np.int32), self.device)
+        with timed("engine.put.len"):
+            len_dev = jax.device_put(lengths.astype(np.int32), self.device)
         if packed is not None:
             return packed[0], len_dev, packed[1]
         if wave_dev is None:
@@ -519,12 +521,14 @@ class EmbeddingEngine:
                 self._puts_since_probe
                 >= (self._put_interval or self.probe_interval)
             ):
-                put = self._probe_put(batch)
+                with timed("engine.put.probe", nbytes=batch.nbytes):
+                    put = self._probe_put(batch)
             else:
                 put = self._put_large(batch, self._put_mode)
                 self._puts_since_probe += 1
         else:
-            put = jax.device_put(batch, self.device)
+            with timed("engine.put.small", nbytes=batch.nbytes):
+                put = jax.device_put(batch, self.device)
         self._last_put = put
         return put
 
@@ -775,18 +779,19 @@ class EmbeddingEngine:
         }
 
     def _put_large(self, batch: np.ndarray, mode: str):
-        if mode == "parallel":
-            # ~1.5 MB per stream, up to 8 streams: measured knee of the
-            # relay's concurrency benefit (when it has one — see _put_mode)
-            n = min(8, batch.shape[0],
-                    max(2, batch.nbytes // (1536 * 1024)))
-            rows = np.array_split(batch, n, axis=0)
-            dev = self.device
-            parts = list(self._put_pool.map(
-                lambda r: jax.device_put(r, dev), rows
-            ))
-            return jnp.concatenate(parts, axis=0)
-        return jax.device_put(batch, self.device)
+        with timed(f"engine.put.wire_{mode}", nbytes=batch.nbytes):
+            if mode == "parallel":
+                # ~1.5 MB per stream, up to 8 streams: measured knee of the
+                # relay's concurrency benefit (when it has one — see _put_mode)
+                n = min(8, batch.shape[0],
+                        max(2, batch.nbytes // (1536 * 1024)))
+                rows = np.array_split(batch, n, axis=0)
+                dev = self.device
+                parts = list(self._put_pool.map(
+                    lambda r: jax.device_put(r, dev), rows
+                ))
+                return jnp.concatenate(parts, axis=0)
+            return jax.device_put(batch, self.device)
 
     @staticmethod
     def _wave_i16able(w: np.ndarray) -> bool:
@@ -917,7 +922,8 @@ class EmbeddingEngine:
         aot = self._aot.get(key)
         if aot is not None:
             try:
-                return aot(params, wave_dev, len_dev)
+                with timed("engine.dispatch"):
+                    return aot(params, wave_dev, len_dev)
             except (TypeError, ValueError):
                 # aval/device mismatch (e.g. explicit device override that
                 # differs from the default the AOT lowering assumed): fall

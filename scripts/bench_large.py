@@ -157,7 +157,11 @@ def main():
             # where the wall went (span registry): submit = assemble+put+
             # dispatch, collect = grouped readbacks
             "spans": {
-                k: {"total_s": round(v["total_s"], 1), "count": v["count"]}
+                k: {
+                    "total_s": round(v["total_s"], 1),
+                    "count": v["count"],
+                    **({"MB_per_s": v["MB_per_s"]} if "MB_per_s" in v else {}),
+                }
                 for k, v in _span_stats().items()
                 if k.startswith("engine.")
             },

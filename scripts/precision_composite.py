@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Round-4 composite precision recipes, measured on the chip.
+
+The ladder (scripts/precision_ladder.py, results in
+precision_ladder_results.jsonl) resolved which single modules tolerate
+single-pass bf16 'default' inside the 1e-3 pairwise budget:
+
+    posconv      2.5e-4   1.043x
+    attn_score   2.5e-4   1.035x
+    ffn1         5.3e-4   1.070x
+    tail2        6.2e-4   1.038x
+    featproj     4.9e-4   0.993x (no speedup -> excluded)
+
+Module errors need not add linearly (signs differ per coordinate), so the
+composites are measured directly on the same pause-heavy stress set
+against the same 'exact' anchor, with 5 steady repeats:
+
+    C1 = posconv + attn_score + ffn1
+    C2 = C1 + tail2 (last 2 encoder layers fully 'default')
+
+Writes one JSON line per recipe to precision_composite_results.jsonl.
+The winner (largest speedup with pairwise <= 8e-4 — leaving torch-oracle
+headroom inside the 1e-3 golden budget, BASELINE.md) becomes the
+'balanced' scoring preset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nomad_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from nomad_tpu.models import NomadModel, Wav2Vec2Config  # noqa: E402
+from nomad_tpu.ops import cdist  # noqa: E402
+
+from precision_ladder import speechish, SR, SECONDS, BATCH, N_DEG, N_NMR, SMOKE  # noqa: E402
+
+REPEATS = 2 if SMOKE else 5
+
+C1 = dict(posconv_precision="default",
+          attn_score_precision="default",
+          ffn1_precision="default")
+COMPOSITES = {
+    "exact_high": {},
+    "C1_posconv_attnscore_ffn1": C1,
+    "C2_C1_plus_tail2": dict(C1, encoder_tail_start=10,
+                             encoder_tail_precision="default"),
+}
+if SMOKE:
+    COMPOSITES["C2_C1_plus_tail2"] = dict(
+        C1, encoder_tail_start=1, encoder_tail_precision="default")
+
+
+def main():
+    out_path = os.path.join(os.path.dirname(__file__),
+                            "precision_composite_results.jsonl")
+    waves = np.concatenate([speechish(N_DEG, 1), speechish(N_NMR, 2)])
+    lengths = np.full((waves.shape[0],), int(SR * SECONDS), np.int32)
+    n_total = (waves.shape[0] // BATCH) * BATCH
+    waves, lengths = waves[:n_total], lengths[:n_total]
+    n_deg = min(N_DEG, n_total - 1)
+
+    mk = Wav2Vec2Config.tiny if SMOKE else Wav2Vec2Config.base
+    model0 = NomadModel(mk(), emb_dim=16 if SMOKE else 256)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model0.init(
+            jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
+        )
+    params = jax.device_put(jax.device_get(params))
+    w_dev = jax.device_put(waves)
+    l_dev = jax.device_put(lengths)
+
+    ref = None
+    ref_wss = None
+    rows = []
+    with open(out_path, "a") as sink:
+        for name, kw in COMPOSITES.items():
+            model = NomadModel(mk(**kw), emb_dim=16 if SMOKE else 256)
+            fn = jax.jit(lambda p, w, l, m=model: m.apply(p, w, lengths=l))
+            n_b = n_total // BATCH
+            embs = []
+            t0 = time.time()
+            for b in range(n_b):
+                embs.append(np.asarray(fn(params, w_dev[b*BATCH:(b+1)*BATCH],
+                                          l_dev[b*BATCH:(b+1)*BATCH])))
+            compile_s = time.time() - t0
+            emb = np.concatenate(embs)
+            best = np.inf
+            for _ in range(REPEATS):
+                t0 = time.time()
+                for b in range(n_b):
+                    r = fn(params, w_dev[b*BATCH:(b+1)*BATCH],
+                           l_dev[b*BATCH:(b+1)*BATCH])
+                np.asarray(r)
+                best = min(best, time.time() - t0)
+            if ref is None:
+                ref = emb
+                ref_wss = n_total * SECONDS / best
+                pair = avg = embd = 0.0
+            else:
+                embd = float(np.max(np.abs(emb - ref)))
+                dm = np.asarray(cdist(emb[:n_deg], emb[n_deg:]))
+                dm0 = np.asarray(cdist(ref[:n_deg], ref[n_deg:]))
+                pair = float(np.max(np.abs(dm - dm0)))
+                avg = float(np.max(np.abs(dm.mean(1) - dm0.mean(1))))
+            wss = n_total * SECONDS / best
+            row = {"recipe": name,
+                   "wav_sec_per_sec": round(wss, 1),
+                   "speedup_vs_exact": round(wss / ref_wss, 3),
+                   "pairwise_maxdiff": pair, "avg_maxdiff": avg,
+                   "emb_maxdiff": embd, "compile_s": round(compile_s, 1),
+                   "repeats": REPEATS,
+                   "in_budget": pair <= 1e-3,
+                   "flippable": pair <= 8e-4}
+            rows.append(row)
+            sink.write(json.dumps(row) + "\n")
+            sink.flush()
+            print(json.dumps(row), flush=True)
+
+    print("\n| recipe | wav-s/s | vs exact | pairwise err | in budget | flippable |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['recipe']} | {r['wav_sec_per_sec']} "
+              f"| {r['speedup_vs_exact']}x | {r['pairwise_maxdiff']:.2e} "
+              f"| {'yes' if r['in_budget'] else 'no'} "
+              f"| {'yes' if r['flippable'] else 'no'} |")
+
+
+if __name__ == "__main__":
+    main()
