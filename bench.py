@@ -270,6 +270,15 @@ def main():
     precision = os.environ.get("BENCH_PRECISION", "exact")
     repeats = int(os.environ.get("BENCH_REPEATS", 5))
     file_mode = os.environ.get("BENCH_FILE_MODE", "1") != "0"
+    # Headline payload class. 'speech' (default, round 4+) is the product
+    # workload — NOMAD scores speech (BASELINE configs: Valentini /
+    # LibriSpeech), and payload class changes what the WIRE costs (the
+    # relay compresses raw PCM itself; the wire codec packs speech ~0.6x).
+    # 'tone' keeps rounds 1-3's tone+noise payload (nearly incompressible
+    # — the wire's worst case); a tone continuity leg is recorded either
+    # way so cross-round numbers stay comparable.
+    payload = os.environ.get("BENCH_PAYLOAD", "speech")
+    gen = synth_speech_waves if payload == "speech" else synth_waves
 
     # CPU baseline first (torch must not see the TPU; it is CPU-only anyway)
     _stage("cpu_baseline")
@@ -334,8 +343,8 @@ def main():
 
     _stage("prewarm")
     engine = EmbeddingEngine(model, params, mesh=mesh)
-    deg = synth_waves(n_deg, seconds, seed=2)
-    nmr = synth_waves(n_nmr, seconds, seed=3)
+    deg = gen(n_deg, seconds, seed=2)
+    nmr = gen(n_nmr, seconds, seed=3)
     # cold-start = max(param transfer, shape compiles): prewarm compiles
     # EVERY planned batch shape (full batches + tail) from avals,
     # concurrently, while the ~380 MB param pytree streams to the device;
@@ -422,7 +431,12 @@ def main():
     if mesh is None and os.environ.get("BENCH_SPEECH", "1") != "0":
         from nomad_tpu.ops import wirecodec
 
-        sp = synth_speech_waves(n_deg + n_nmr, seconds)
+        # when the headline already runs speech, this leg reuses the same
+        # waves (identical shapes -> zero new compiles); under a tone
+        # headline it generates the speech payload as before
+        sp = deg + nmr if payload == "speech" else synth_speech_waves(
+            n_deg + n_nmr, seconds
+        )
         blen = bucket_length(len(sp[0]))
         k = min(32, len(sp))
         probe_batch = np.zeros((k, blen), np.int16)
@@ -460,6 +474,28 @@ def main():
         engine.wire_codec = "auto"
         engine.reset_codec_race()
 
+    # tone continuity leg: rounds 1-3's headline payload (tone+noise,
+    # nearly incompressible) so cross-round throughput stays comparable
+    # after the round-4 headline switch to the speech payload. Same
+    # counts/lengths as the headline -> the compiled executables are
+    # reused; 2 repeats bound the cost.
+    _stage("tone_leg")
+    tone_wss = None
+    if payload == "speech" and mesh is None and (
+        os.environ.get("BENCH_TONE", "1") != "0"
+    ):
+        tone = synth_waves(n_deg, seconds, seed=2) + synth_waves(
+            n_nmr, seconds, seed=3
+        )
+        engine.embed_waves(tone)  # settle the race for this payload class
+        tbest2 = np.inf
+        for _ in range(2):
+            t0 = time.time()
+            engine.embed_waves(tone)
+            tbest2 = min(tbest2, time.time() - t0)
+        tone_wss = total_wav_sec / tbest2
+        engine.reset_codec_race()
+
     _stage("file_leg")
     file_wss = None
     if file_mode and mesh is None:
@@ -491,6 +527,8 @@ def main():
             "n_deg": n_deg,
             "n_nmr": n_nmr,
             "seconds_per_file": seconds,
+            "payload": payload,
+            "tone_wss": round(tone_wss, 1) if tone_wss else None,
             "precision": precision,
             "attention": attn,
             "warmup_s": round(warm, 2),
@@ -511,6 +549,7 @@ def main():
             "codec_race_MBps": engine.transfer_stats()["codec_race_MBps"],
             "codec_hits": engine.transfer_stats()["codec_hits"],
             "codec_probe_ships": engine.transfer_stats()["codec_probe_ships"],
+            "codec_cold_races": engine.transfer_stats()["codec_cold_races"],
             "codec_saved_MB": engine.transfer_stats()["codec_saved_MB"],
             # raw-vs-packed on a speech-like payload (the representative
             # workload; the codec's ~0.6x ratio turns directly into

@@ -36,6 +36,7 @@ bucket of words so XLA sees a bounded set of decode shapes.
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -285,6 +286,50 @@ def decode_combined_call(combined, b: int, t: int):
         except (TypeError, ValueError):  # aval/device mismatch
             _decode_aot.pop(key, None)
     return _decode_combined_jit(combined, b=b, t=t)
+
+
+# The raw-vs-packed race must not pay a standalone-decode COMPILE inline:
+# on a relay session that is a 10-20 s stall inside the race span (measured
+# round 4: engine.put.codec_race at 1.6 MB/s while the put probe ran the
+# same wire at 47 MB/s — the gap was compiles, not bytes). The engine asks
+# decode_combined_ready() first and, when cold, prewarms HERE on a daemon
+# thread while it ships the race's packed half as raw instead.
+_prewarm_lock = threading.Lock()
+_prewarm_inflight: set = set()
+
+
+def decode_combined_ready(rows_shape, b: int, t: int) -> bool:
+    """True when the standalone combined-frame decode for this shape key is
+    already AOT-compiled (a decode_combined_call will dispatch, not
+    compile)."""
+    return ("c", tuple(rows_shape), b, t) in _decode_aot
+
+
+def prewarm_decode_combined_async(rows_shape, b: int, t: int):
+    """Kick the standalone decode compile for this shape key on a daemon
+    thread (idempotent per key; no-op when warm or already in flight).
+    Returns the Thread when one was started (tests join it), else None."""
+    key = ("c", tuple(rows_shape), b, t)
+    with _prewarm_lock:
+        if key in _decode_aot or key in _prewarm_inflight:
+            return None
+        _prewarm_inflight.add(key)
+
+    def run():
+        try:
+            from ..utils.cache import cached_compile_guard
+
+            with cached_compile_guard():
+                prewarm_decode_combined(rows_shape, b, t)
+        except Exception:  # pragma: no cover - compile failure falls back
+            pass  # next warm check stays False; the race keeps shipping raw
+        finally:
+            with _prewarm_lock:
+                _prewarm_inflight.discard(key)
+
+    th = threading.Thread(target=run, daemon=True, name="wirecodec-prewarm")
+    th.start()
+    return th
 
 
 def decode_numpy(enc: dict) -> np.ndarray:

@@ -230,6 +230,7 @@ class EmbeddingEngine:
     _codec_hits: int = field(default=0, repr=False)
     _codec_skips: int = field(default=0, repr=False)
     _codec_probe_ships: int = field(default=0, repr=False)
+    _codec_cold_races: int = field(default=0, repr=False)
     _codec_saved_bytes: int = field(default=0, repr=False)
     # 'auto' decides EMPIRICALLY: the relay compresses raw PCM itself by a
     # weather-dependent amount (sometimes more than the codec's byte
@@ -449,9 +450,27 @@ class EmbeddingEngine:
             t_packed += time.perf_counter() - t0
         rate_packed = batch[h:].nbytes / max(t_packed, 1e-9)
         bh, t = enc_b["shape"]
-        # standalone combined decode (the probe's half-batch rides the
-        # NORMAL forward after concatenation with the raw half)
-        dec_b = wirecodec.decode_combined_call(put_p, b=bh, t=t)
+        # Standalone combined decode (the probe's half-batch rides the
+        # NORMAL forward after concatenation with the raw half) — but ONLY
+        # when its executable is already warm. A cold decode here compiles
+        # INLINE inside the race span (~10-20 s on a relay session; round-4
+        # BENCH_LARGE burned 118 s of a 457 s wall in 6 races this way), so
+        # when cold the compile moves to a daemon thread and this race's
+        # packed half re-ships as raw — half a batch of duplicate bytes,
+        # an order of magnitude below the compile stall it replaces. The
+        # wire timing above is already banked either way.
+        if wirecodec.decode_combined_ready(put_p.shape, bh, t):
+            dec_b = wirecodec.decode_combined_call(put_p, b=bh, t=t)
+        else:
+            wirecodec.prewarm_decode_combined_async(put_p.shape, bh, t)
+            self._codec_cold_races += 1
+            try:
+                put_p.delete()
+            except Exception:  # pragma: no cover - non-deletable array
+                pass
+            dec_b = self._put_large(batch[h:], mode)
+            self._last_put = dec_b
+            enc_b = None  # raw shipped twice: nothing was saved
         for mode, rate in (("raw", rate_raw), ("packed", rate_packed)):
             old = self._codec_probes.get(mode)
             self._codec_probes[mode] = rate if old is None else (
@@ -475,7 +494,7 @@ class EmbeddingEngine:
         # can be LARGER than the raw half — counting it as a codec hit with
         # negative "saved" bytes overstated codec usage in transfer_stats.
         self._codec_probe_ships += 1
-        if rows.nbytes < batch[h:].nbytes:
+        if enc_b is not None and rows.nbytes < batch[h:].nbytes:
             self._codec_saved_bytes += batch[h:].nbytes - rows.nbytes
         return jnp.concatenate([put_a, dec_b], axis=0)
 
@@ -771,6 +790,7 @@ class EmbeddingEngine:
             "codec_hits": self._codec_hits,
             "codec_skips": self._codec_skips,
             "codec_probe_ships": self._codec_probe_ships,
+            "codec_cold_races": self._codec_cold_races,
             "codec_saved_MB": round(self._codec_saved_bytes / 1e6, 1),
             "codec_in_use": self._use_codec,
             "codec_race_MBps": {

@@ -156,6 +156,27 @@ class SpeechEnhancement:
             self._eval_step = jax.jit(estep)
         return self._eval_step
 
+    def loss_components(self) -> tuple:
+        """(mse, nomad_raw) of the CURRENT model on the first training
+        batch — the unweighted magnitudes of the two loss terms. Used to
+        pick a balanced auxiliary weight: the reference's 0.001
+        (`nomad_loss_test.py:69`) couples to ITS pretrained lossnet's
+        output scale; a lossnet with a different scale needs the same
+        loss MIX, not the same scalar."""
+        noisy, clean = next(self.train_set.batches(
+            int(self.config.get("train_bs", 32)), shuffle=False
+        ))
+        est = self.unet.apply(
+            {"params": self.params, "batch_stats": self.batch_stats},
+            jnp.asarray(noisy), train=False,
+        )
+        clean = jnp.asarray(clean)
+        mse = float(jnp.mean((est - clean) ** 2))
+        nl = float(self.nomad.loss_fn_p(
+            self._nomad_params_dev(), est, clean
+        ))
+        return mse, nl
+
     def enhance(self, noisy):
         if self._infer is None:
             self._infer = jax.jit(

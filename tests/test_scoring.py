@@ -483,3 +483,47 @@ def test_pad_to_compiled_files_path(tiny_setup, tmp_path, rng):
     out = warm.embed_files(paths)
     assert (set(warm._compiled_keys) | set(warm._aot)) == compiled_before
     np.testing.assert_array_equal(ref, out)
+
+
+def test_codec_cold_race_ships_raw_then_warms(tiny_setup):
+    """A race whose standalone-decode executable is COLD must not compile
+    it inline (round-4 BENCH_LARGE: 6 such compiles burned 118 s of a
+    457 s wall inside engine.put.codec_race). Cold race: packed half is
+    timed, discarded, re-shipped raw — result still bit-exact — and the
+    compile moves to a daemon thread; once warm, the same-shape race takes
+    the data-bearing decode path with no further cold races."""
+    import time as _time
+
+    from nomad_tpu.ops import wirecodec as wc
+
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(
+        model, params, parallel_put_min_bytes=1024, wire_codec="auto"
+    )
+    batch = np.zeros((8, 32768), np.int16)
+    batch[:, :16384] = (
+        200 * np.sin(np.arange(16384) / 8.0)[None, :]
+    ).astype(np.int16)
+    # derive the race half's decode-shape key and ensure it starts cold
+    h = batch.shape[0] // 2
+    enc_h = wc.encode(batch[h:])
+    rows_h = wc.combined_rows(enc_h)
+    key = ("c", tuple(rows_h.shape), h, batch.shape[1])
+    wc._decode_aot.pop(key, None)
+    assert not wc.decode_combined_ready(rows_h.shape, h, batch.shape[1])
+
+    out = engine._probe_codec(batch)
+    np.testing.assert_array_equal(np.asarray(out), batch)
+    assert engine._codec_cold_races == 1
+    assert engine._codec_saved_bytes == 0  # raw shipped twice: nothing saved
+
+    # the daemon prewarm lands shortly; then the SAME shape races warm
+    deadline = _time.time() + 60
+    while not wc.decode_combined_ready(rows_h.shape, h, batch.shape[1]):
+        if _time.time() > deadline:  # pragma: no cover - diagnosis aid
+            raise AssertionError("background decode prewarm never landed")
+        _time.sleep(0.05)
+    out2 = engine._probe_codec(batch)
+    np.testing.assert_array_equal(np.asarray(out2), batch)
+    assert engine._codec_cold_races == 1  # warm path: no new cold race
+    assert engine.transfer_stats()["codec_cold_races"] == 1
