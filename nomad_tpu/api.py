@@ -74,26 +74,32 @@ class Nomad:
         emb_dim: int = 256,
         params: Optional[dict] = None,
         mesh=None,
-        precision: str = "exact",
+        precision: str = "balanced",
     ):
         from .utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
         if config is None:
-            # 'exact' (default) = 'high' MXU precision everywhere, ~2e-5
-            # from the f32 oracle — inside the 1e-3 demo-score budget with
-            # two decades of margin. 'fast' = measured mixed-precision
-            # recipe (single-pass bf16 transformer matmuls, f32 islands),
-            # ~1.25x faster; its max pairwise-score delta measured 0.8e-3
-            # on steady tones but 1.9e-3 on pause-heavy speech-like input
-            # (round-2 verification), so it is opt-in, not the default.
+            # 'balanced' (default since round 4) = composite recipe C1:
+            # single-pass bf16 on posconv + attention scores + FFN fc1,
+            # 'high' islands elsewhere — measured 1.17x compute at 6.6e-4
+            # max pairwise-score delta on the pause-heavy stress set
+            # (scripts/precision_composite.py), inside the 1e-3 demo
+            # budget. 'exact' = 'high' MXU precision everywhere, ~2e-5
+            # from the f32 oracle (the parity-anchor config). 'fast' =
+            # the round-2 recipe (bf16 across the whole transformer),
+            # ~1.25x but 1.9e-3 on pause-heavy speech — outside the
+            # budget, opt-in only.
             if precision == "fast":
                 config = Wav2Vec2Config.fast()
+            elif precision == "balanced":
+                config = Wav2Vec2Config.balanced()
             elif precision == "exact":
                 config = Wav2Vec2Config.base()
             else:
                 raise ValueError(
-                    f"unknown precision {precision!r}: expected 'fast' or 'exact'"
+                    f"unknown precision {precision!r}: expected "
+                    "'balanced', 'fast' or 'exact'"
                 )
         self.config = config
         self.emb_dim = emb_dim

@@ -43,7 +43,8 @@ def main():
     )
     args = ap.parse_args()
 
-    from nomad_tpu.utils.cache import enable_compilation_cache
+    from nomad_tpu.utils.cache import (cpu_compile_bypass,
+                                   enable_compilation_cache)
 
     enable_compilation_cache()
 
@@ -66,10 +67,13 @@ def main():
             attention_impl=args.attn, encoder_dtype=_jnp.bfloat16
         )
     model = NomadModel(cfg, emb_dim=256)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model.init(
-            jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
-        )
+    # host-side CPU compile in a TPU process: keep it OUT of the
+    # persistent cache (cross-host CPU AOT entries SIGILL-poison it)
+    with cpu_compile_bypass():
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = model.init(
+                jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
+            )
     params = jax.device_get(params)
 
     # --- triplet train step (reference recipe: bs 8 x 10 s, frozen convnet)

@@ -35,7 +35,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from nomad_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+from nomad_tpu.utils.cache import (cpu_compile_bypass,
+                                   enable_compilation_cache)  # noqa: E402
 
 enable_compilation_cache()
 
@@ -74,10 +75,13 @@ def main():
 
     mk = Wav2Vec2Config.tiny if SMOKE else Wav2Vec2Config.base
     model0 = NomadModel(mk(), emb_dim=16 if SMOKE else 256)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model0.init(
-            jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
-        )
+    # host-side CPU compile in a TPU process: keep it OUT of the
+    # persistent cache (cross-host CPU AOT entries SIGILL-poison it)
+    with cpu_compile_bypass():
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = model0.init(
+                jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
+            )
     params = jax.device_put(jax.device_get(params))
     w_dev = jax.device_put(waves)
     l_dev = jax.device_put(lengths)

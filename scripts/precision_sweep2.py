@@ -16,7 +16,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from nomad_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+from nomad_tpu.utils.cache import (cpu_compile_bypass,
+                                   enable_compilation_cache)  # noqa: E402
 
 enable_compilation_cache()
 
@@ -71,10 +72,13 @@ def main():
     n_b = waves.shape[0] // BATCH
 
     model0 = NomadModel(Wav2Vec2Config.base(), emb_dim=256)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model0.init(
-            jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
-        )
+    # host-side CPU compile in a TPU process: keep it OUT of the
+    # persistent cache (cross-host CPU AOT entries SIGILL-poison it)
+    with cpu_compile_bypass():
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = model0.init(
+                jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
+            )
     params = jax.device_put(jax.device_get(params))
     w_dev = jax.device_put(waves)
     l_dev = jax.device_put(lengths)

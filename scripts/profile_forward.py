@@ -19,7 +19,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from nomad_tpu.utils.cache import enable_compilation_cache
+from nomad_tpu.utils.cache import (cpu_compile_bypass,
+                                   enable_compilation_cache)
 
 enable_compilation_cache()
 
@@ -77,8 +78,11 @@ def main():
 
     model = NomadModel(cfg, emb_dim=256)
     wav = jnp.zeros((1, 4000), jnp.float32)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model.init(jax.random.key(0), wav, method=NomadModel.init_all)
+    # host-side CPU compile in a TPU process: keep it OUT of the
+    # persistent cache (cross-host CPU AOT entries SIGILL-poison it)
+    with cpu_compile_bypass():
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = model.init(jax.random.key(0), wav, method=NomadModel.init_all)
     # device_get first: device_put(committed_cpu_array) with no target is a
     # no-op, which would leave params host-side and re-ship ~378 MB per call
     params = jax.device_put(jax.device_get(params), jax.devices()[0])

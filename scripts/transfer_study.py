@@ -15,7 +15,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from nomad_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+from nomad_tpu.utils.cache import (cpu_compile_bypass,
+                                   enable_compilation_cache)  # noqa: E402
 
 enable_compilation_cache()
 
@@ -80,10 +81,13 @@ def main():
 
     cfg0 = Wav2Vec2Config.base()
     model0 = NomadModel(cfg0, emb_dim=256)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = model0.init(
-            jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
-        )
+    # host-side CPU compile in a TPU process: keep it OUT of the
+    # persistent cache (cross-host CPU AOT entries SIGILL-poison it)
+    with cpu_compile_bypass():
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = model0.init(
+                jax.random.key(0), jnp.zeros((1, 4000)), method=NomadModel.init_all
+            )
     params = jax.device_put(jax.device_get(params))
     waves_dev = jax.device_put(waves)
     lengths_dev = jax.device_put(lengths)

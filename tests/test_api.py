@@ -183,3 +183,27 @@ def test_device_override():
     assert emb.shape == (2, 16)
     with pytest.raises(Exception, match="not available"):
         Nomad(config=cfg, emb_dim=16, params=params, device="banana")
+
+
+def test_balanced_precision_is_scoring_default(tmp_path):
+    """Round-4 default flip: Nomad() with no explicit config uses the
+    'balanced' composite C1 recipe (single-pass bf16 posconv + attention
+    scores + FFN fc1, 'high' islands elsewhere) — measured 1.17x compute
+    at 6.6e-4 max pairwise delta, inside the 1e-3 demo budget
+    (scripts/precision_composite.py). Construction stays lazy: no params
+    are resolved here."""
+    from nomad_tpu.api import Nomad
+
+    n = Nomad(weights_dir=str(tmp_path / "nope"))
+    cfg = n.config
+    assert cfg.posconv_prec == "default"
+    assert cfg.attn_score_prec == "default"
+    assert cfg.ffn1_prec == "default"
+    # everything the ladder showed NO slack for stays 'high'
+    assert cfg.ffn2_prec == "high"
+    assert cfg.featproj_prec == "high"
+    assert cfg.frontend_prec == "high"
+    assert not cfg.tail_split
+
+    with pytest.raises(ValueError, match="unknown precision"):
+        Nomad(weights_dir=str(tmp_path / "nope"), precision="quantum")
