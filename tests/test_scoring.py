@@ -413,6 +413,52 @@ def test_codec_probe_accounting_separate_from_hits(tiny_setup, rng):
     assert engine._codec_saved_bytes >= 0
 
 
+def test_codec_race_charges_encode(tiny_setup, monkeypatch):
+    """The raw-vs-packed race banks DELIVERED rates: the packed half's
+    host-side encode wall sits inside its timed window (VERDICT r4 item
+    3 — the wire-only metric let packed 'win' races it lost end-to-end,
+    because the ~0.15 s/half C++ pack was outside the race)."""
+    import time as _time
+
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(
+        model, params, parallel_put_min_bytes=1024, wire_codec="auto"
+    )
+    batch = np.zeros((8, 32768), np.int16)
+    batch[:, :16384] = (
+        200 * np.sin(np.arange(16384) / 8.0)[None, :]
+    ).astype(np.int16)
+    real_encode = EmbeddingEngine._encode_batch
+
+    def slow_encode(self, b):
+        _time.sleep(0.25)
+        return real_encode(self, b)
+
+    monkeypatch.setattr(EmbeddingEngine, "_encode_batch", slow_encode)
+    engine._probe_codec(batch)
+    half_bytes = batch[4:].nbytes
+    # >=0.25 s of encode wall must be inside the packed rate's denominator
+    assert engine._codec_probes["packed"] <= half_bytes / 0.25
+    assert engine._codec_probes["raw"] > engine._codec_probes["packed"]
+
+
+def test_wire_throttle_env(monkeypatch):
+    """NOMAD_WIRE_THROTTLE_MBPS paces the put path to the synthetic rate
+    (the bench's bad-weather regime leg); unset, it adds nothing."""
+    import time as _time
+
+    from nomad_tpu.scoring import engine as eng_mod
+
+    monkeypatch.setenv("NOMAD_WIRE_THROTTLE_MBPS", "100")
+    t0 = _time.perf_counter()
+    eng_mod._throttle_to(10_000_000, _time.perf_counter())  # 0.1 s @ 100
+    assert _time.perf_counter() - t0 >= 0.09
+    monkeypatch.delenv("NOMAD_WIRE_THROTTLE_MBPS")
+    t0 = _time.perf_counter()
+    eng_mod._throttle_to(10_000_000, t0)
+    assert _time.perf_counter() - t0 < 0.05
+
+
 def test_remap_to_compiled_logic():
     """pad_to_compiled planning: a never-compiled shape pads up to the
     SMALLEST covering compiled shape; shapes planned in the same call
