@@ -269,6 +269,12 @@ def main():
     # 1e-3 budget). 'exact' is the parity anchor (~2e-5); 'fast' trades
     # up to ~2e-3 on speech-like input for ~1.25x (opt-in only).
     precision = os.environ.get("BENCH_PRECISION", "balanced")
+    if precision not in ("exact", "fast", "balanced"):
+        # fail fast like Nomad.__init__ does — a typo'd env value must not
+        # silently bench the 'exact' config while recording the typo
+        raise ValueError(
+            f"BENCH_PRECISION={precision!r}: expected exact|fast|balanced"
+        )
     repeats = int(os.environ.get("BENCH_REPEATS", 5))
     file_mode = os.environ.get("BENCH_FILE_MODE", "1") != "0"
     # Headline payload class. 'speech' (default, round 4+) is the product
@@ -319,9 +325,8 @@ def main():
 
     _stage("model_init")
     mk = {"fast": Wav2Vec2Config.fast,
-          "balanced": Wav2Vec2Config.balanced}.get(
-        precision, Wav2Vec2Config.base
-    )
+          "balanced": Wav2Vec2Config.balanced,
+          "exact": Wav2Vec2Config.base}[precision]
     cfg = mk(attention_impl=attn)
     model = NomadModel(cfg, emb_dim=256)
     # weights: converted checkpoint if present, else seeded random (values
@@ -396,6 +401,9 @@ def main():
 
     total_wav_sec = (n_deg + n_nmr) * seconds
     value = total_wav_sec / best / (n_dev if mesh is not None else 1)
+    # snapshot the transfer state the HEADLINE ran under — later legs
+    # (throttled A/B, long files) re-probe and would pollute the EWMAs
+    tstats = engine.transfer_stats()
 
     # --- secondary legs for the detail record ---
     _stage("h2d_probe")
@@ -425,34 +433,57 @@ def main():
         tbest = min(tbest, time.time() - t0)
     compute_wss = bsz * seconds / tbest
 
+    # parity leg (VERDICT r4 item 4): the artifact that records the
+    # 'balanced' default's SPEED must also carry the evidence that the
+    # default is inside the 1e-3 score budget. Embed the same small
+    # payload with the headline engine and with an 'exact' (parity-anchor)
+    # model sharing the identical params, and report the max pairwise
+    # distance-matrix delta — the composite study's metric
+    # (scripts/precision_composite.py; budget anchor: reference
+    # README.md:69-81 golden scores at 1e-3).
+    _stage("parity_leg")
+    parity_delta = None
+    if (
+        mesh is None
+        and precision != "exact"
+        and os.environ.get("BENCH_PARITY", "1") != "0"
+    ):
+        n_pd, n_pn = min(48, n_deg), min(16, n_nmr)
+        sub = deg[:n_pd] + nmr[:n_pn]
+        exact_model = NomadModel(
+            Wav2Vec2Config.base(attention_impl=attn), emb_dim=256
+        )
+        exact_engine = EmbeddingEngine(exact_model, params, wire_codec="off")
+        emb_b = engine.embed_waves(sub)
+        emb_e = exact_engine.embed_waves(sub)
+        dm_b = np.asarray(cdist(emb_b[:n_pd], emb_b[n_pd:]))
+        dm_e = np.asarray(cdist(emb_e[:n_pd], emb_e[n_pd:]))
+        parity_delta = float(np.max(np.abs(dm_b - dm_e)))
+
     # speech-payload leg: the headline's tone+noise payload is nearly
     # incompressible (packs ~0.84x), but NOMAD's real workload is speech,
     # which the wire codec packs to ~0.55-0.6x — and the pipeline is
     # wire-bound, so on speech the codec IS throughput. Measure raw vs
     # packed on the same speech payload under this session's weather.
     _stage("speech_leg")
-    speech_detail = None
-    if mesh is None and os.environ.get("BENCH_SPEECH", "1") != "0":
+
+    def _speech_ab(sp, reps):
+        """off/on/auto wire-codec wss on one payload under the CURRENT
+        wire conditions. The race banks DELIVERED rates (wire + encode,
+        engine._probe_codec), so 'auto' must name the measured winner —
+        verdict_matches_e2e is the check (VERDICT r4 item 3: the old
+        wire-only race let packed win races it lost end-to-end)."""
         from nomad_tpu.ops import wirecodec
 
-        # when the headline already runs speech, this leg reuses the same
-        # waves (identical shapes -> zero new compiles); under a tone
-        # headline it generates the speech payload as before
-        sp = deg + nmr if payload == "speech" else synth_speech_waves(
-            n_deg + n_nmr, seconds
-        )
-        blen = bucket_length(len(sp[0]))
+        blen_s = bucket_length(len(sp[0]))
         k = min(32, len(sp))
-        probe_batch = np.zeros((k, blen), np.int16)
+        probe_batch = np.zeros((k, blen_s), np.int16)
         for i in range(k):
             probe_batch[i, : len(sp[i])] = sp[i]
         probe = wirecodec.encode(probe_batch)
         ratio = probe["nbytes"] / probe_batch.nbytes if probe else None
-        # 'auto' is the production answer (the race picks raw or packed for
-        # this session's weather — the relay compresses raw PCM itself, so
-        # the codec's byte saving only converts to throughput when the
-        # relay's own compression is weak); 'off'/'on' bound it.
-        speech_detail = {"codec_ratio": round(ratio, 3) if ratio else None}
+        det = {"codec_ratio": round(ratio, 3) if ratio else None}
+        wavsec = sum(len(w) for w in sp) / 16000.0
         for mode in ("off", "on", "auto"):
             engine.wire_codec = mode
             engine.reset_codec_race()
@@ -461,22 +492,64 @@ def main():
             saved0 = engine._codec_saved_bytes
             engine.embed_waves(sp)  # warm: codec decode shape, race settle
             sbest = np.inf
-            for _ in range(3):
+            for _ in range(reps):
                 t0 = time.time()
                 engine.embed_waves(sp)
                 sbest = min(sbest, time.time() - t0)
-            speech_detail[f"wss_{mode}"] = round(total_wav_sec / sbest, 1)
+            det[f"wss_{mode}"] = round(wavsec / sbest, 1)
             if mode == "on":
-                speech_detail["saved_MB"] = round(
+                det["saved_MB"] = round(
                     (engine._codec_saved_bytes - saved0) / 1e6, 1
                 )
             elif mode == "auto":
-                speech_detail["auto_verdict"] = (
+                det["auto_verdict"] = (
                     "packed" if engine.transfer_stats()["codec_in_use"]
                     else "raw"
                 )
         engine.wire_codec = "auto"
         engine.reset_codec_race()
+        # did the decision name the measured winner? (3% tie band: below
+        # that the forced-mode passes differ within run noise)
+        won = "packed" if det["wss_on"] > det["wss_off"] else "raw"
+        tie = abs(det["wss_on"] - det["wss_off"]) <= 0.03 * max(
+            det["wss_on"], det["wss_off"]
+        )
+        det["measured_winner"] = "tie" if tie else won
+        det["verdict_matches_e2e"] = bool(tie or det["auto_verdict"] == won)
+        return det
+
+    speech_detail = None
+    sp = None
+    if mesh is None and os.environ.get("BENCH_SPEECH", "1") != "0":
+        # when the headline already runs speech, this leg reuses the same
+        # waves (identical shapes -> zero new compiles); under a tone
+        # headline it generates the speech payload as before.
+        # 'auto' is the production answer (the race picks raw or packed for
+        # this session's weather — the relay compresses raw PCM itself, so
+        # the codec's byte saving only converts to throughput when the
+        # relay's own compression is weak); 'off'/'on' bound it.
+        sp = deg + nmr if payload == "speech" else synth_speech_waves(
+            n_deg + n_nmr, seconds
+        )
+        speech_detail = _speech_ab(sp, reps=3)
+
+    # bad-weather regime leg (VERDICT r4 item 3's "both weather regimes"):
+    # the same A/B under a synthetic slow wire (NOMAD_WIRE_THROTTLE_MBPS
+    # paces the put path; packed ships fewer bytes -> proportionally less
+    # wall, a slow physical wire's exact economics). On a throttled wire
+    # the codec's byte saving IS throughput, so auto should flip packed
+    # here while (on a healthy relay) staying raw in the natural leg.
+    _stage("speech_throttled_leg")
+    speech_throttled = None
+    thr = os.environ.get("BENCH_THROTTLE_MBPS", "12")
+    if mesh is None and speech_detail is not None and thr not in ("", "0"):
+        spt = sp[: max(2, len(sp) // 3)]  # throttled passes are slow: 1/3rd
+        os.environ["NOMAD_WIRE_THROTTLE_MBPS"] = thr
+        try:
+            speech_throttled = _speech_ab(spt, reps=2)
+        finally:
+            os.environ.pop("NOMAD_WIRE_THROTTLE_MBPS", None)
+        speech_throttled["throttle_MBps"] = float(thr)
 
     # tone continuity leg: rounds 1-3's headline payload (tone+noise,
     # nearly incompressible) so cross-round throughput stays comparable
@@ -493,12 +566,50 @@ def main():
         )
         engine.embed_waves(tone)  # settle the race for this payload class
         tbest2 = np.inf
-        for _ in range(2):
+        # time the SAME body as the headline's run() — embed + distance
+        # matrix + host readback — so the tone number stays comparable to
+        # rounds 1-3's headline (advisor r4: embed-only read ~a few % high)
+        for _ in range(3):
             t0 = time.time()
-            engine.embed_waves(tone)
+            emb_t = engine.embed_waves(tone)
+            np.asarray(cdist(emb_t[:n_deg], emb_t[n_deg:]))
             tbest2 = min(tbest2, time.time() - t0)
         tone_wss = total_wav_sec / tbest2
         engine.reset_codec_race()
+
+    # long-file leg (VERDICT r4 item 7 — the Pallas kernels' regime): at
+    # 10 s files (T'~499) XLA's fused einsum attention wins and 'auto'
+    # correctly stays on it; at ~48 s files (T'~2400) the einsum path's two
+    # [B, H, T', T'] f32 score buffers cap the batch via the HBM budget
+    # (engine._attn_batch_cap) while flash streams K/V and keeps the full
+    # sample-budget batch. Score the SAME long files with 'xla' and with
+    # 'auto' (which flips to flash-HIGHEST inside T' in [1024, 4096],
+    # models/wav2vec2.py) and record both: the regime where the kernel
+    # pays, measured in the driver artifact.
+    _stage("long_leg")
+    long_detail = None
+    if mesh is None and os.environ.get("BENCH_LONG", "1") != "0":
+        lsec = float(os.environ.get("BENCH_LONG_SECONDS", 48))
+        n_long = int(os.environ.get("BENCH_LONG_N", 32))
+        lw = synth_speech_waves(n_long, lsec, seed=9)
+        long_detail = {"seconds_per_file": lsec, "n": n_long}
+        for impl in ("xla", "auto"):
+            m_l = NomadModel(mk(attention_impl=impl), emb_dim=256)
+            e_l = EmbeddingEngine(m_l, params)
+            e_l.prewarm((lsec,), counts=(n_long,), single=False)
+            long_detail[f"batch_{impl}"] = e_l.batch_size_for(
+                bucket_length(int(lsec * 16000))
+            )
+            e_l.embed_waves(lw)  # warm + settle the codec race
+            lbest = np.inf
+            for _ in range(2):
+                t0 = time.time()
+                e_l.embed_waves(lw)
+                lbest = min(lbest, time.time() - t0)
+            long_detail[f"wss_{impl}"] = round(n_long * lsec / lbest, 1)
+        long_detail["auto_speedup"] = round(
+            long_detail["wss_auto"] / long_detail["wss_xla"], 3
+        )
 
     _stage("file_leg")
     file_wss = None
@@ -522,6 +633,20 @@ def main():
             file_wss = total_wav_sec / fbest
 
     _stage("report")
+    # pipeline-overlap evidence (VERDICT r4 item 8): the headline embeds
+    # int16 waves, so the wire ceiling is the engine's banked put rate
+    # over 32 kB per wav-second; the compute ceiling is the resident-batch
+    # leg. A SERIAL pipeline (the reference's load->transfer->compute
+    # loop, nomad.py:172-183) lands at the harmonic floor; the engine's
+    # submit loop rides puts under compute, so the headline approaches
+    # min(wire, compute). (tstats: the post-steady snapshot above.)
+    put_rate = tstats["probes_MBps"].get(tstats["mode"] or "") or None
+    wire_ceiling = put_rate * 1e6 / 32000.0 if put_rate else None
+    overlap = None
+    serial_floor = None
+    if wire_ceiling:
+        serial_floor = 1.0 / (1.0 / wire_ceiling + 1.0 / compute_wss)
+        overlap = value / min(wire_ceiling, compute_wss)
     result = {
         "metric": "scoring_throughput",
         "value": round(value, 2),
@@ -534,23 +659,43 @@ def main():
             "payload": payload,
             "tone_wss": round(tone_wss, 1) if tone_wss else None,
             "precision": precision,
+            # measured evidence that the benched precision default stays
+            # inside the 1e-3 golden-score budget vs the 'exact' anchor
+            "balanced_pairwise_delta": (
+                round(parity_delta, 6) if parity_delta is not None else None
+            ),
+            "parity_in_budget": (
+                bool(parity_delta <= 1e-3) if parity_delta is not None
+                else None
+            ),
             "attention": attn,
             "warmup_s": round(warm, 2),
             "prewarm_s": round(prewarm_s, 2),
             "steady_s": round(best, 3),
             "compute_wss": round(compute_wss, 1),
+            # wire ceiling / serial floor / achieved fraction of
+            # min(wire, compute): >=0.9 means H2D rides under compute
+            "wire_ceiling_wss": (
+                round(wire_ceiling, 1) if wire_ceiling else None
+            ),
+            "serial_floor_wss": (
+                round(serial_floor, 1) if serial_floor else None
+            ),
+            "overlap_efficiency": round(overlap, 3) if overlap else None,
             "file_mode_wss": round(file_wss, 1) if file_wss else None,
             "h2d_MBps": round(h2d, 1),
             "h2d_parallel_MBps": round(h2d_par, 1),
             # adaptive transfer mode: which mode the engine's in-run probe
-            # chose and what each measured (VERDICT r2 item 8)
-            "put_mode": engine.transfer_stats()["mode"],
-            "put_probe_MBps": engine.transfer_stats()["probes_MBps"],
+            # chose and what each measured (VERDICT r2 item 8) — the
+            # post-steady snapshot, before later legs re-probe
+            "put_mode": tstats["mode"],
+            "put_probe_MBps": tstats["probes_MBps"],
             # wire codec: packed int16 payloads decoded on-device
             # (lossless; see ops/wirecodec.py). in_use = the raw-vs-packed
-            # race's verdict for this session's relay weather.
-            "codec_in_use": engine.transfer_stats()["codec_in_use"],
-            "codec_race_MBps": engine.transfer_stats()["codec_race_MBps"],
+            # race's verdict for this session's relay weather; race rates
+            # are DELIVERED MB/s (wire + host encode charged to packed).
+            "codec_in_use": tstats["codec_in_use"],
+            "codec_race_MBps": tstats["codec_race_MBps"],
             "codec_hits": engine.transfer_stats()["codec_hits"],
             "codec_probe_ships": engine.transfer_stats()["codec_probe_ships"],
             "codec_cold_races": engine.transfer_stats()["codec_cold_races"],
@@ -559,6 +704,12 @@ def main():
             # workload; the codec's ~0.6x ratio turns directly into
             # throughput on a wire-bound pipeline)
             "speech": speech_detail,
+            # the same A/B under a synthetic 12 MB/s wire: the slow-relay
+            # regime, where the codec's byte saving IS throughput
+            "speech_throttled": speech_throttled,
+            # flash-attention regime: ~48 s files, where 'auto' flips to
+            # the Pallas flash kernel (batch un-capped by score buffers)
+            "long_file": long_detail,
             "cpu_baseline_wav_sec_per_sec": round(baseline, 2),
             "backend": jax.default_backend(),
             "n_devices": n_dev,

@@ -219,8 +219,15 @@ class SpeechEnhancement:
 
     def test(self) -> dict:
         """PESQ-wb when available, else SI-SDR (labeled)."""
+        return self.quality(self.test_set)
+
+    def quality(self, dataset) -> dict:
+        """Enhancement quality (PESQ-wb, else SI-SDR) on any paired split —
+        se_bench selects best checkpoints by VALID-split quality (early
+        stopping on valid MSE picked checkpoints whose PESQ sat below the
+        un-enhanced input, VERDICT r4 weak #5)."""
         ests, cleans = [], []
-        for noisy, clean in self.test_set.batches(
+        for noisy, clean in dataset.batches(
             int(self.config.get("test_bs", 100)), shuffle=False
         ):
             ests.append(np.asarray(self.enhance(noisy)))

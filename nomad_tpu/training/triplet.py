@@ -133,10 +133,17 @@ class Training:
                     encoder_precision="default",
                     encoder_dtype=jnp.bfloat16 if prec == "fast_bf16" else None,
                 )
-            elif prec != "exact":
+            elif prec == "balanced" and size == "base":
+                # the scoring default (composite recipe C1 — per-matmul
+                # bf16 islands, <=6.6e-4 score delta, 1.17x): a model
+                # TRAINED at the precision it will SCORE at sees no
+                # train/serve skew, and gradient descent tolerates far
+                # more noise than the 1e-3 scoring budget
+                model_config = Wav2Vec2Config.balanced()
+            elif prec not in ("exact", "balanced"):
                 raise ValueError(
                     f"unknown training precision {prec!r}: expected "
-                    "'exact', 'fast' or 'fast_bf16'"
+                    "'exact', 'balanced', 'fast' or 'fast_bf16'"
                 )
         if cfg.get("experiment_name") == "Training" and cfg.get(
             "freeze_convnet", False

@@ -122,6 +122,11 @@ def main():
             "embed_one_s": round(embed1, 3),
             "n_nmr": 2,
             "n_deg": 8,
+            "precision": stats.get("precision"),
+            "codec_cold_races": (stats.get("transfer") or {}).get(
+                "codec_cold_races"
+            ),
+            "codec_in_use": (stats.get("transfer") or {}).get("codec_in_use"),
             "embed_cache": stats.get("embed_cache"),
             # engine span totals (submit/collect/native_ingest): shows
             # where request wall time went, separating wire from compute
