@@ -490,6 +490,20 @@ def main():
             if mode != "off":
                 engine.prewarm_codec(sp)
             saved0 = engine._codec_saved_bytes
+            if mode == "auto":
+                # settle the race before timing: the production cadence
+                # (probe_interval=8 with two-consecutive-wins) needs ~16
+                # puts to confirm a packed flip, but this leg's payload is
+                # only a few batches per pass — race every put across two
+                # warm passes so the verdict the timed passes run under is
+                # the converged one, then restore the cadence
+                prev_int = engine.probe_interval
+                engine.probe_interval = 1
+                try:
+                    engine.embed_waves(sp)
+                    engine.embed_waves(sp)
+                finally:
+                    engine.probe_interval = prev_int
             engine.embed_waves(sp)  # warm: codec decode shape, race settle
             sbest = np.inf
             for _ in range(reps):
@@ -577,15 +591,15 @@ def main():
         tone_wss = total_wav_sec / tbest2
         engine.reset_codec_race()
 
-    # long-file leg (VERDICT r4 item 7 — the Pallas kernels' regime): at
-    # 10 s files (T'~499) XLA's fused einsum attention wins and 'auto'
-    # correctly stays on it; at ~48 s files (T'~2400) the einsum path's two
-    # [B, H, T', T'] f32 score buffers cap the batch via the HBM budget
-    # (engine._attn_batch_cap) while flash streams K/V and keeps the full
-    # sample-budget batch. Score the SAME long files with 'xla' and with
-    # 'auto' (which flips to flash-HIGHEST inside T' in [1024, 4096],
-    # models/wav2vec2.py) and record both: the regime where the kernel
-    # pays, measured in the driver artifact.
+    # long-file leg (VERDICT r4 item 7 — the Pallas kernel's regime,
+    # settled by measurement this round): at ~48 s files (T'~2400) the
+    # einsum path's two [B, H, T', T'] f32 score buffers cap the batch
+    # via the HBM budget (engine._attn_batch_cap) while the flash kernel
+    # streams K/V and keeps the full sample-budget batch. 'auto' flips to
+    # the kernel's bf16 flavor here on bf16-score configs (measured
+    # 1.192x at 6.73e-4 parity; flash-HIGHEST measured 0.651x and is
+    # retired — ops/attention.py). This leg re-measures xla-vs-auto each
+    # round so the rule stays evidence-backed.
     _stage("long_leg")
     long_detail = None
     if mesh is None and os.environ.get("BENCH_LONG", "1") != "0":
@@ -674,7 +688,11 @@ def main():
             "steady_s": round(best, 3),
             "compute_wss": round(compute_wss, 1),
             # wire ceiling / serial floor / achieved fraction of
-            # min(wire, compute): >=0.9 means H2D rides under compute
+            # min(wire, compute): >=0.9 means H2D rides under compute.
+            # The ceiling uses the banked probe EWMA, which UNDERestimates
+            # on swinging weather (early cold probes persist) and ignores
+            # the relay's own raw-PCM compression, so >1.0 is possible —
+            # the serial floor is the meaningful lower contrast.
             "wire_ceiling_wss": (
                 round(wire_ceiling, 1) if wire_ceiling else None
             ),

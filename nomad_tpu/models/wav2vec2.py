@@ -70,9 +70,15 @@ class Wav2Vec2Config:
     # 400 ms; @T'=4095: 281 vs 309) even though the kernel wins 1.6-1.7x
     # in isolation (the pallas call boundary forces q/k/v materialization
     # + [B,T,H,D]<->[BH,T,D] relayouts that eat the win).
-    # 'auto': flash-HIGHEST for T' in [1024, 4096] — opt in when the
-    # einsum path's two [B, H, T', T'] f32 buffers are the binding HBM
-    # constraint (large batches of >20 s files); scores match to ~5e-6.
+    # 'auto': flash kernel ONLY where measured to win — T' in
+    # [1024, 4096] on configs whose attention scores already run
+    # single-pass bf16 ('balanced': attn_score_precision='default').
+    # There the kernel's bf16 flavor is 1.192x end-to-end (batch
+    # un-capped by the quadratic score buffers) at 6.73e-4 from the
+    # 'exact' anchor (in budget); the round-3 flash-HIGHEST flavor
+    # measured 0.651x in the same regime and is retired from 'auto'.
+    # Parity-class configs ('exact'/'high' scores) stay on xla at every
+    # length. Full history: ops/attention.py.
     # 'pallas': force the kernel everywhere (kernel benchmarking).
     # 'fused_qkv': projection-fused Pallas attention (round-3 experiment,
     # ops/fused_attention.py) — q/k/v projections + masked softmax in ONE
@@ -504,6 +510,9 @@ class EncoderLayer(nn.Module):
                         attn = mha(
                             q, k, v, key_mask=key_mask,
                             impl=cfg.attention_impl,
+                            # 'auto' flips to the flash kernel only for
+                            # bf16-class scores (ops/attention.py note)
+                            score_prec=score_prec,
                         )
                 attn = attn.reshape(x.shape[0], x.shape[1], d)
                 attn = dense(d, name="out_proj")(attn)

@@ -21,15 +21,32 @@ import jax.numpy as jnp
 
 NEG_INF = -1e9  # large-negative additive mask; exp underflows to exactly 0 in f32
 
-# 'auto' dispatch window for the flash kernel (frames, i.e. ~20 ms units):
-#   * below 1024 the einsum path wins — XLA fuses scale/softmax into two
-#     short matmuls and the score matrix is small (T'=511: xla 4.65 ms vs
-#     flash-HIGHEST 5.75 ms)
-#   * in [1024, 4096] flash-HIGHEST is ~1.6-1.7x faster (T=2048: 13.8 vs
-#     23.8 ms; T=4096: 14.5 vs 22.7) at 7e-6 error AND O(T) memory — the
-#     einsum path's two [B, H, T, T] f32 buffers are what OOM long files
-#   * above 4096 the forward's VMEM-resident K/V no longer fits; XLA again
-#     (rare: >80 s files)
+# 'auto' dispatch: the flash kernel is used ONLY where it measurably
+# wins — long sequences (T' in [1024, 4096]) on configs whose attention
+# scores ALREADY run single-pass bf16 ('balanced', the scoring default:
+# attn_score_precision='default'). The full measured history, so the
+# next reader doesn't re-open this with partial data:
+#   * in ISOLATION flash-HIGHEST wins 1.6-1.7x at T' in [1024, 4096]
+#     (T=2048: 13.8 vs 23.8 ms) — that won it an unconditional round-3
+#     window here. IN-MODEL the kernel call boundary's q/k/v
+#     materialization + [B,T,H,D]<->[B*H,T,D] relayouts eat the win
+#     (encoder@T'=2047: 368 ms xla vs 400 ms flash at parity precision).
+#   * round 5 measured both flavors END-TO-END at 48 s files (T'~2400,
+#     kernel batch 16 vs xla's score-buffer-capped 8, driver bench
+#     long_file leg): flash-HIGHEST ran 0.651x vs xla — the old window
+#     was a regression and HIGHEST is retired from 'auto'. But the
+#     kernel at its DEFAULT precision (single-pass bf16 dots, f32
+#     online-softmax accumulators) ran 1.192x, and its scores are the
+#     same numerics class the 'balanced' einsum path already uses:
+#     max pairwise score delta vs the 'exact' anchor measured 6.73e-4
+#     (balanced+xla: 6.25e-4; kernel vs balanced-xla: 8.8e-5) — inside
+#     the 1e-3 budget (scripts/diag_flash_parity.py, on-chip).
+#   * so 'auto' flips to flash-bf16 exactly when (a) T' is in the
+#     window, (b) the backend is TPU, and (c) the caller's score
+#     precision is 'default' — i.e. the flip never changes the numerics
+#     class the config chose. 'exact'/'high' configs stay on xla
+#     everywhere (flash-HIGHEST loses; bf16 would break their parity).
+#   * above T'~4096 the kernel's VMEM-resident K/V no longer fits; xla.
 AUTO_FLASH_MIN_T = 1024
 AUTO_FLASH_MAX_T = 4096
 
@@ -54,22 +71,23 @@ def mha_xla(q, k, v, key_mask=None):
     )
 
 
-def mha(q, k, v, key_mask=None, impl: str = "xla"):
+def mha(q, k, v, key_mask=None, impl: str = "xla", score_prec=None):
+    """score_prec: the caller's effective attention-score matmul
+    precision ('default'|'high'|'highest'|None). Only consulted by
+    'auto' — the flash flip requires bf16-class scores (see above)."""
     if impl == "auto":
         t = q.shape[1]
         if (
-            AUTO_FLASH_MIN_T <= t <= AUTO_FLASH_MAX_T
+            score_prec == "default"
+            and AUTO_FLASH_MIN_T <= t <= AUTO_FLASH_MAX_T
             and jax.default_backend() == "tpu"
         ):
             from .flash_attention import mha_pallas
 
-            # HIGHEST: f32 dots inside the kernel — 7e-6 from the einsum
-            # reference, parity-grade (the DEFAULT bf16 variant's 2.5e-4
-            # embedding error is what kept pallas off the scoring path)
-            return mha_pallas(
-                q, k, v, key_mask=key_mask,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            # kernel default precision: bf16 dots under the caller's
+            # active default_matmul_precision context — the same
+            # numerics class as the einsum path's bf16 score matmuls
+            return mha_pallas(q, k, v, key_mask=key_mask)
         impl = "xla"
     if impl == "pallas":
         from .flash_attention import mha_pallas

@@ -1128,8 +1128,13 @@ class EmbeddingEngine:
         except Exception:
             return MAX_BATCH
         impl = getattr(cfg, "attention_impl", "xla")
+        # mirrors ops/attention.mha's 'auto' rule: the flash flip (which
+        # escapes the quadratic score-buffer cap) happens only for
+        # bf16-class score configs inside the window (measured 1.192x
+        # there; flash-HIGHEST lost 0.651x and is retired from 'auto')
         flash = impl == "pallas" or (
             impl == "auto"
+            and getattr(cfg, "attn_score_prec", None) == "default"
             and AUTO_FLASH_MIN_T <= frames <= AUTO_FLASH_MAX_T
             and jax.default_backend() == "tpu"
         )

@@ -156,20 +156,23 @@ def test_nondivisible_block_lengths(rng, t):
 
 
 def test_auto_dispatch(qkv, monkeypatch):
-    """impl='auto': xla off-TPU or at short T; flash-HIGHEST inside the
-    [1024, 4096]-frame window on TPU (simulated via monkeypatched
-    backend — numerics checked in interpret mode)."""
+    """impl='auto' flips to the flash kernel ONLY for bf16-class score
+    configs (score_prec='default') inside the [1024, 4096] window on TPU
+    — round-5 verdict (ops/attention.py): flash-HIGHEST measured 0.651x
+    end-to-end in that regime and is retired; flash-bf16 measured 1.192x
+    at 6.73e-4 parity. Everything else resolves to the einsum path."""
     from nomad_tpu.ops import attention as att
 
-    q, k, v = qkv  # T=200 < window -> xla regardless of backend
+    q, k, v = qkv  # short T -> xla regardless
     np.testing.assert_array_equal(
-        np.asarray(att.mha(q, k, v, impl="auto")),
+        np.asarray(att.mha(q, k, v, impl="auto", score_prec="default")),
         np.asarray(att.mha_xla(q, k, v)),
     )
 
     calls = {}
 
     def fake_flash(q, k, v, key_mask=None, precision=None, **kw):
+        calls["called"] = True
         calls["precision"] = precision
         return att.mha_xla(q, k, v, key_mask=key_mask)
 
@@ -177,13 +180,26 @@ def test_auto_dispatch(qkv, monkeypatch):
     monkeypatch.setattr(
         "nomad_tpu.ops.flash_attention.mha_pallas", fake_flash
     )
-    long_q = jnp.zeros((1, 1024, 2, 8), jnp.float32)
-    att.mha(long_q, long_q, long_q, impl="auto")
-    assert calls["precision"] == jax.lax.Precision.HIGHEST
+    long_q = jnp.zeros((1, 2048, 2, 8), jnp.float32)
+    # parity-class scores ('high'/None): auto never reaches the kernel,
+    # at any length
+    for sp in (None, "high", "highest"):
+        for t in (1024, 2048, 4097):
+            x = jnp.zeros((1, t, 2, 8), jnp.float32)
+            att.mha(x, x, x, impl="auto", score_prec=sp)
+    assert not calls
+    # bf16-class scores inside the window: kernel, at its DEFAULT
+    # precision (inherits the caller's bf16 matmul context)
+    att.mha(long_q, long_q, long_q, impl="auto", score_prec="default")
+    assert calls.get("called") and calls["precision"] is None
     calls.clear()
+    # bf16 scores but beyond the VMEM-safe window: xla again
     very_long = jnp.zeros((1, 4097, 2, 8), jnp.float32)
-    att.mha(very_long, very_long, very_long, impl="auto")
-    assert not calls  # beyond the VMEM-safe window: xla
+    att.mha(very_long, very_long, very_long, impl="auto",
+            score_prec="default")
+    assert not calls
+    att.mha(q, k, v, impl="pallas")
+    assert calls.get("called")  # forced mode always reaches the kernel
 
 
 def test_auto_flash_window_numerics(rng):
@@ -202,8 +218,9 @@ def test_auto_flash_window_numerics(rng):
 
 
 def test_attn_batch_cap_flash_vs_xla(monkeypatch):
-    """The engine's quadratic score cap applies to the einsum path only;
-    flash buckets fall back to the linear sample budget."""
+    """The engine's quadratic score cap mirrors mha's 'auto' rule: only
+    a forced kernel or a bf16-score config inside the flash window
+    escapes to the linear sample budget."""
     import jax as _jax
 
     from nomad_tpu.models import NomadModel, Wav2Vec2Config
@@ -216,10 +233,25 @@ def test_attn_batch_cap_flash_vs_xla(monkeypatch):
     assert e.batch_size_for(1_310_720) <= 4  # power-of-two floor
 
     monkeypatch.setattr(eng.jax, "default_backend", lambda: "tpu")
+    # 'auto' on a parity-class config ('exact': scores at 'high'): the
+    # flip never fires, quadratic cap at every length
     model_auto = NomadModel(
         Wav2Vec2Config.base(attention_impl="auto"), emb_dim=256
     )
     e2 = eng.EmbeddingEngine(model_auto, params={})
-    assert e2._attn_batch_cap(655_360) == eng.MAX_BATCH  # T'=2047: flash
-    assert e2._attn_batch_cap(1_310_720) == eng.MAX_BATCH  # T'=4095: flash
-    assert e2._attn_batch_cap(2_621_440) <= 2  # T'=8191: beyond window -> quad cap
+    assert e2._attn_batch_cap(655_360) == e._attn_batch_cap(655_360)
+    assert e2._attn_batch_cap(1_310_720) <= 5
+    # 'auto' on the bf16-score default ('balanced'): flash inside the
+    # window -> linear budget; beyond it -> quadratic again
+    model_bal = NomadModel(
+        Wav2Vec2Config.balanced(attention_impl="auto"), emb_dim=256
+    )
+    e3 = eng.EmbeddingEngine(model_bal, params={})
+    assert e3._attn_batch_cap(655_360) == eng.MAX_BATCH  # T'=2047
+    assert e3._attn_batch_cap(1_310_720) == eng.MAX_BATCH  # T'=4095
+    assert e3._attn_batch_cap(2_621_440) <= 2  # T'=8191: beyond window
+    model_p = NomadModel(
+        Wav2Vec2Config.base(attention_impl="pallas"), emb_dim=256
+    )
+    e4 = eng.EmbeddingEngine(model_p, params={})
+    assert e4._attn_batch_cap(1_310_720) == eng.MAX_BATCH  # forced kernel
