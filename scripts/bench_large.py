@@ -179,7 +179,15 @@ def main():
             "precision": precision,
         },
     }
-    out = os.path.join(os.path.dirname(__file__), "..", "BENCH_LARGE.json")
+    # LS_OUT overrides; else the speech payload gets its own artifact so
+    # a speech-config run can't clobber the 10k tone flagship
+    default = (
+        "BENCH_LARGE_SPEECH.json"
+        if os.environ.get("LS_PAYLOAD") == "speech" else "BENCH_LARGE.json"
+    )
+    out = os.environ.get("LS_OUT") or os.path.join(
+        os.path.dirname(__file__), "..", default
+    )
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result), flush=True)

@@ -442,6 +442,40 @@ def test_codec_race_charges_encode(tiny_setup, monkeypatch):
     assert engine._codec_probes["raw"] > engine._codec_probes["packed"]
 
 
+def test_race_backlog_gating(tiny_setup, monkeypatch):
+    """Races only fire on a SHALLOW pipeline: the fair-timing drain that
+    precedes a race costs the whole queued backlog (8-20 s each in the
+    r4 10k artifact), so a deep-pipeline put keeps the banked verdict
+    and ships without racing."""
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(
+        model, params, parallel_put_min_bytes=1024, wire_codec="auto"
+    )
+    # 'auto' codec applicability requires a TPU backend; the gating logic
+    # under test is backend-independent
+    monkeypatch.setattr(
+        EmbeddingEngine, "_codec_applicable",
+        lambda self, b: b.dtype == np.int16 and b.nbytes >= 1024,
+    )
+    batch = np.zeros((8, 32768), np.int16)
+    batch[:, :16384] = (
+        200 * np.sin(np.arange(16384) / 8.0)[None, :]
+    ).astype(np.int16)
+    lengths = np.full((8,), 32768, np.int32)
+    engine._backlog = 50  # deep pipeline: no race, raw ship
+    engine._put(batch, lengths)
+    assert engine.transfer_stats()["codec_probe_ships"] == 0
+    engine._backlog = 0  # drained: the race fires
+    engine._put(batch, lengths)
+    assert engine.transfer_stats()["codec_probe_ships"] == 1
+    # bootstrap: with one win pending the NEXT shallow put re-races so
+    # the two-consecutive-wins gate resolves immediately
+    engine._codec_wins = 1
+    engine._backlog = 1
+    engine._put(batch, lengths)
+    assert engine.transfer_stats()["codec_probe_ships"] == 2
+
+
 def test_wire_throttle_env(monkeypatch):
     """NOMAD_WIRE_THROTTLE_MBPS paces the put path to the synthetic rate
     (the bench's bad-weather regime leg); unset, it adds nothing."""
