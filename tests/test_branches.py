@@ -116,10 +116,12 @@ def test_serve_main_argparse(monkeypatch, tiny):
 
     created = {}
 
-    def fake_server(model="base", cache=True, cache_size=65536):
+    def fake_server(model="base", cache=True, cache_size=65536,
+                    precision="balanced"):
         created["model"] = model
         created["cache"] = cache
         created["cache_size"] = cache_size
+        created["precision"] = precision
 
         class S:
             def run(self, infile=None, outfile=None):
