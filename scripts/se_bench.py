@@ -79,9 +79,13 @@ def build_corpus(work: str, n_train: int, snr_db: float, seconds: float):
     from nomad_tpu.utils.synth import speech_like
 
     sr = 16000  # --seconds defaults to 16384/16000: exactly FIXED_LEN
+    # valid/test big enough that PESQ means are selection-grade: at 24
+    # one-second files the valid mean's noise (~±0.03) exceeded the
+    # checkpoint differences it was selecting between (round-5 drive:
+    # the mse arm's valid-best checkpoint tested 0.04 BELOW its final)
     splits = {"train": n_train,
-              "valid": min(24, max(4, n_train // 3)),
-              "test": min(24, max(4, n_train // 3))}
+              "valid": min(64, max(4, n_train // 3)),
+              "test": min(64, max(4, n_train // 3))}
     dirs = {}
     seed = 0
     for split, n in splits.items():
