@@ -101,6 +101,16 @@ def warm_wire_async() -> None:
     _wire_thread.start()
 
 
+def warm_wire_ready() -> bool:
+    """Non-blocking: has the background d2h channel warm completed?
+    Races/probes are gated on this — their synchronous readbacks would
+    otherwise ABSORB the one-time channel setup (36-430 s on bad relay
+    weather) and bank sub-MB/s garbage into the rate EWMAs: the round-5
+    10k re-drive paid 55.4 s of a 185.7 s wall in race 1 this way even
+    though the ambient wire probed 43 MB/s."""
+    return _wire_thread is None or not _wire_thread.is_alive()
+
+
 def warm_wire_join(timeout: Optional[float] = None) -> bool:
     """Block until the background wire warm completes (starting it if
     needed). A SERVER calls this from its warmup so readiness means the
@@ -379,7 +389,10 @@ class EmbeddingEngine:
             # bootstrap race (one win pending) also rides the next shallow
             # put, so the two-consecutive-wins gate resolves by put ~1
             # instead of put probe_interval.
-            shallow = self._backlog <= 2
+            # ... and only once the background d2h channel warm is done:
+            # a race readback during setup blocks for the whole setup
+            # (36-430 s) and banks garbage rates (see warm_wire_ready)
+            shallow = self._backlog <= 2 and warm_wire_ready()
             if self.wire_codec == "on":
                 use = True
             elif shallow and (
@@ -608,11 +621,14 @@ class EmbeddingEngine:
         """Raw 2-D array placement through the adaptive transfer mode."""
         if batch.nbytes >= self.parallel_put_min_bytes and batch.shape[0] > 1:
             # probes drain the pipeline before timing (see _backlog note):
-            # only fire on a shallow queue, where the drain is ~free. An
-            # undecided mode still probes immediately — the first large
-            # put of a run has no backlog by construction.
-            if (self._put_mode is None and self._backlog <= 2) or (
-                self._backlog <= 2
+            # only fire on a shallow queue, where the drain is ~free, and
+            # once the d2h channel warm is done (warm_wire_ready — a probe
+            # readback during setup absorbs the whole 36-430 s setup). An
+            # undecided mode still probes at the first shallow-and-warm
+            # large put; until then batches ship 'single' unprobed.
+            ok = self._backlog <= 2 and warm_wire_ready()
+            if (self._put_mode is None and ok) or (
+                ok
                 and self._puts_since_probe
                 >= (self._put_interval or self.probe_interval)
             ):

@@ -39,6 +39,7 @@ from nomad_tpu.models import NomadModel, Wav2Vec2Config  # noqa: E402
 from nomad_tpu.scoring.engine import (  # noqa: E402
     EmbeddingEngine,
     warm_wire_async,
+    warm_wire_join,
 )
 from nomad_tpu.scoring.large_scale import LargeScaleScorer  # noqa: E402
 
@@ -117,6 +118,14 @@ def main():
     else:
         engine.embed_waves(deg[:64])
 
+    # the one-time d2h channel setup (36-430 s, relay weather) is STARTUP,
+    # not throughput: join the background warm before the timed region,
+    # like serve's warmup does — otherwise the first synchronous readback
+    # (race 1) absorbs it into embed_s (r5: 55.4 s of a 185.7 s wall)
+    t0 = time.time()
+    wire_live = warm_wire_join(600)
+    wire_warm_join_s = time.time() - t0
+
     t0 = time.time()
     emb_deg = engine.embed_waves(deg, progress=False)
     emb_nmr = engine.embed_waves(nmr, progress=False)
@@ -152,6 +161,9 @@ def main():
             # shows which side bound the run
             "wire_floor_s": round(transfer_gb * 1e3 / wire_rate, 1)
             if wire_rate else None,
+            # one-time d2h channel setup paid before the timed region
+            "wire_live": wire_live,
+            "wire_warm_join_s": round(wire_warm_join_s, 1),
             "put_mode": tstats["mode"],
             "put_probe_MBps": tstats["probes_MBps"],
             # lossless wire codec: whether the raw-vs-packed race settled

@@ -476,6 +476,43 @@ def test_race_backlog_gating(tiny_setup, monkeypatch):
     assert engine.transfer_stats()["codec_probe_ships"] == 2
 
 
+def test_race_gated_on_wire_warm(tiny_setup, monkeypatch):
+    """Races (and their synchronous readbacks) must not fire while the
+    background d2h channel warm is still in flight: the readback would
+    absorb the one-time 36-430 s channel setup and bank sub-MB/s garbage
+    into the rate EWMAs (the round-5 10k re-drive paid 55.4 s of a
+    185.7 s wall in race 1 this way)."""
+    from nomad_tpu.scoring import engine as eng_mod
+
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(
+        model, params, parallel_put_min_bytes=1024, wire_codec="auto"
+    )
+    monkeypatch.setattr(
+        EmbeddingEngine, "_codec_applicable",
+        lambda self, b: b.dtype == np.int16 and b.nbytes >= 1024,
+    )
+    batch = np.zeros((8, 32768), np.int16)
+    batch[:, :16384] = (
+        200 * np.sin(np.arange(16384) / 8.0)[None, :]
+    ).astype(np.int16)
+    lengths = np.full((8,), 32768, np.int32)
+
+    class _Alive:
+        def is_alive(self):
+            return True
+
+    monkeypatch.setattr(eng_mod, "_wire_thread", _Alive())
+    assert not eng_mod.warm_wire_ready()
+    engine._backlog = 0  # shallow — only the warm gate holds the race
+    engine._put(batch, lengths)
+    assert engine.transfer_stats()["codec_probe_ships"] == 0
+    monkeypatch.setattr(eng_mod, "_wire_thread", None)
+    assert eng_mod.warm_wire_ready()
+    engine._put(batch, lengths)
+    assert engine.transfer_stats()["codec_probe_ships"] == 1
+
+
 def test_wire_throttle_env(monkeypatch):
     """NOMAD_WIRE_THROTTLE_MBPS paces the put path to the synthetic rate
     (the bench's bad-weather regime leg); unset, it adds nothing."""
