@@ -276,6 +276,14 @@ class EmbeddingEngine:
     # timing, so they only fire when this is shallow — deep-pipeline
     # re-probes each paid 8-20 s of deferred wire in the r4 10k artifact.
     _backlog: int = field(default=0, repr=False)
+    # Cap on each TIMED side of a race/probe. Races and probes serialize
+    # the pipeline (drain + synchronous readback), so their worst case on
+    # a bad-weather relay episode scales with the timed bytes: the r5 10k
+    # re-drive paid 20.8 s for 2 full-batch races (~30 MB/side) caught in
+    # a 3 MB/s dip while steady puts sustained 46.4 MB/s. A capped head
+    # races first and the remainder ships untimed through the decided
+    # mode, bounding the worst case at ~cap/weather per side.
+    probe_cap_bytes: int = 6 << 20
     _put_mode: Optional[str] = field(default=None, repr=False)
     _put_probes: dict = field(default_factory=dict, repr=False)
     _probe_count: int = field(default=0, repr=False)
@@ -401,10 +409,31 @@ class EmbeddingEngine:
                 or self._codec_puts_since_probe
                 >= (self._codec_interval or self.probe_interval)
             ):
-                with timed("engine.put.codec_race", nbytes=batch.nbytes):
-                    wave_dev = self._probe_codec(
-                        batch, enc if isinstance(enc, dict) else None
-                    )
+                cap = self._probe_head_rows(batch)
+                if cap < batch.shape[0]:
+                    # capped race: time raw-vs-packed on a small head and
+                    # ship the tail untimed through the adaptive path
+                    # (worst-case race cost is bounded by the cap, not
+                    # the batch — see probe_cap_bytes). The steady-path
+                    # fused-executable check needs the FULL batch's frame
+                    # shape, so resolve it here from the caller's encode.
+                    fused = None
+                    if isinstance(enc, dict) and "rows" in enc:
+                        fused = ("pk", batch.shape[0], batch.shape[1],
+                                 tuple(enc["rows"].shape)) in self._aot
+                    head = np.ascontiguousarray(batch[:cap])
+                    with timed("engine.put.codec_race", nbytes=head.nbytes):
+                        head_dev = self._probe_codec(head, None, fused)
+                    if head_dev is not None:
+                        tail_dev = self._put_array(batch[cap:])
+                        wave_dev = jnp.concatenate(
+                            [head_dev, tail_dev], axis=0
+                        )
+                else:
+                    with timed("engine.put.codec_race", nbytes=batch.nbytes):
+                        wave_dev = self._probe_codec(
+                            batch, enc if isinstance(enc, dict) else None
+                        )
                 use = False  # probe already shipped the batch
             else:
                 use = False if self._use_codec is None else self._use_codec
@@ -422,7 +451,39 @@ class EmbeddingEngine:
             wave_dev = self._put_array(batch)
         return wave_dev, len_dev, None
 
-    def _probe_codec(self, batch: np.ndarray, enc=None):
+    def _probe_head_rows(self, batch: np.ndarray) -> int:
+        """Rows of a race/probe head sized so each TIMED side stays under
+        probe_cap_bytes (two sides -> 2x per-side rows, min 4, even so the
+        head halves cleanly). Returns batch rows when the whole batch fits
+        — the race then runs un-capped exactly as before."""
+        row_b = max(1, batch.nbytes // batch.shape[0])
+        per_side = -(-self.probe_cap_bytes // row_b)  # ceil div
+        head = max(4, 2 * per_side)
+        head -= head % 2
+        return min(batch.shape[0], head)
+
+    def _measure_rtt(self) -> float:
+        """One tiny put+readback: the relay's fixed round-trip latency.
+        Steady puts are ASYNC and never pay this; a race/probe readback
+        does, so charging it to the measured rates compresses the
+        raw-vs-packed (and single-vs-parallel) ratio toward 1 — fatally
+        for capped (small) timed payloads where latency dominates wire
+        time. Rates therefore use max(t - rtt, t/4) as the denominator
+        (the t/4 floor bounds the de-bias at 4x when rtt fluctuates)."""
+        t0 = time.perf_counter()
+        try:
+            np.asarray(jax.device_put(
+                np.zeros((1, 1), np.int32), self.device
+            ))
+        except Exception:  # pragma: no cover - dead device
+            return 0.0
+        return time.perf_counter() - t0
+
+    @staticmethod
+    def _debias(t: float, rtt: float) -> float:
+        return max(t - rtt, t / 4, 1e-9)
+
+    def _probe_codec(self, batch: np.ndarray, enc=None, fused=None):
         """Race raw vs packed transport on halves of THIS batch, in
         DELIVERED logical bytes/s: raw-equivalent payload over the wall
         time a steady batch actually pays on that path — wire (readback
@@ -482,11 +543,14 @@ class EmbeddingEngine:
             except Exception:  # pragma: no cover - already-deleted buffer
                 pass
         self._backlog = 0  # the wire is drained as of here
+        rtt = self._measure_rtt()  # see _measure_rtt: de-bias both sides
         # raw half
         t0 = time.perf_counter()
         put_a = self._put_large(batch[:h], mode)
         np.asarray(put_a[:1, :1])
-        rate_raw = batch[:h].nbytes / max(time.perf_counter() - t0, 1e-9)
+        rate_raw = batch[:h].nbytes / self._debias(
+            time.perf_counter() - t0, rtt
+        )
         # packed half: the combined frame (stream + meta tail) ships as
         # ONE transfer and the steady path fuses the decode into the
         # forward executable, so packed and raw now cost the same RPC
@@ -499,24 +563,20 @@ class EmbeddingEngine:
         t0 = time.perf_counter()
         put_p = self._put_large(rows, mode)
         np.asarray(put_p[:1, :1])
-        t_packed = time.perf_counter() - t0
+        t_packed = self._debias(time.perf_counter() - t0, rtt)
         self._last_put = put_p
         # RPC parity holds only when the steady path's fused executable
         # exists for this batch population's frame shape; otherwise every
         # packed batch pays a standalone-decode dispatch (~1 RTT of fixed
         # latency the wire timing can't see). Estimate that RTT with a
         # tiny put+readback and charge the packed half for it.
-        fused_ready = False
-        if enc is not None and "rows" in enc:
+        fused_ready = fused if fused is not None else False
+        if fused is None and enc is not None and "rows" in enc:
             full_key = ("pk", batch.shape[0], batch.shape[1],
                         tuple(enc["rows"].shape))
             fused_ready = full_key in self._aot
         if not fused_ready:
-            t0 = time.perf_counter()
-            np.asarray(jax.device_put(
-                np.zeros((1, 1), np.int32), self.device
-            ))
-            t_packed += time.perf_counter() - t0
+            t_packed += rtt
         # delivered rate: wire wall + the host encode a steady packed
         # batch pays (measured not-overlappable; docstring)
         rate_packed = batch[h:].nbytes / max(t_packed + t_encode, 1e-9)
@@ -764,12 +824,14 @@ class EmbeddingEngine:
                 self._compiled_keys.add(key)
 
             def warm_race_half():
-                # the raw-vs-packed race decodes the tail HALF of a batch
-                # standalone (it recombines with the raw half before the
-                # normal forward) — a different shape key; prewarm it too
-                # or the first 'auto' race pays a cold decode compile in
-                # the timed/serving path it exists to protect
-                half = batch[bsz // 2:]
+                # the raw-vs-packed race decodes the tail HALF of its
+                # (capped) head standalone (it recombines with the raw
+                # half before the normal forward) — a different shape
+                # key; prewarm it too or the first 'auto' race pays a
+                # cold decode compile in the timed/serving path it
+                # exists to protect
+                cap = self._probe_head_rows(batch)
+                half = batch[cap // 2 : cap]
                 enc_h = wirecodec.encode(half)
                 if enc_h is not None:
                     rows_h = wirecodec.combined_rows(enc_h)
@@ -804,6 +866,17 @@ class EmbeddingEngine:
             # consecutive-batch probe's queueing bias is drained away by
             # the readback on the previous put below.
             return self._probe_put_whole(batch)
+        cap = self._probe_head_rows(batch)
+        if cap < batch.shape[0]:
+            # capped probe: time single-vs-parallel on a small head, ship
+            # the tail untimed through the just-decided mode (worst-case
+            # probe cost bounded by the cap — see probe_cap_bytes)
+            head_dev = self._probe_put(np.ascontiguousarray(batch[:cap]))
+            tail_dev = self._put_large(
+                batch[cap:], self._put_mode or "single"
+            )
+            self._puts_since_probe = 0
+            return jnp.concatenate([head_dev, tail_dev], axis=0)
         if self._last_put is not None:
             try:
                 # true drain: block_until_ready through the relay returns
@@ -814,6 +887,7 @@ class EmbeddingEngine:
             except Exception:  # pragma: no cover - already-deleted buffer
                 pass
         self._backlog = 0  # drained as of here
+        rtt = self._measure_rtt()  # see _measure_rtt: de-bias both modes
         dev = self.device
         halves = [batch[:h], batch[h:]]
         order = ("single", "parallel") if self._probe_count % 2 == 0 \
@@ -839,7 +913,9 @@ class EmbeddingEngine:
                     [p[:1, :1] for p in parts], axis=0
                 )[:1, :1])
                 parts_by_mode[mode] = parts
-            rate = half.nbytes / max(time.perf_counter() - t0, 1e-9)
+            rate = half.nbytes / self._debias(
+                time.perf_counter() - t0, rtt
+            )
             old = self._put_probes.get(mode)
             self._put_probes[mode] = rate if old is None else (
                 ewma * rate + (1.0 - ewma) * old
@@ -869,10 +945,11 @@ class EmbeddingEngine:
             except Exception:  # pragma: no cover - already-deleted buffer
                 pass
         self._backlog = 0  # drained as of here
+        rtt = self._measure_rtt()  # see _measure_rtt: de-bias the rate
         t0 = time.perf_counter()
         put = self._put_large(batch, mode)
         np.asarray(put[:1, :1])  # readback bounds the wire
-        rate = batch.nbytes / max(time.perf_counter() - t0, 1e-9)
+        rate = batch.nbytes / self._debias(time.perf_counter() - t0, rtt)
         ewma = 0.5
         old = self._put_probes.get(mode)
         self._put_probes[mode] = rate if old is None else (
@@ -1354,12 +1431,30 @@ class EmbeddingEngine:
             bar.close()
         return np.stack([out[i] for i in range(n)])
 
-    def _collect(self, pending, out, bar=None, group: int = 16) -> None:
+    def _collect(self, pending, out, bar=None, group: int = 0) -> None:
         """Drain (chunk, device-embedding) results in GROUPS: one device
-        concatenate + one readback per 16 chunks instead of one RPC per
+        concatenate + one readback per group instead of one RPC per
         chunk. Through the relay each d2h round trip costs ~0.5-1 s of
         latency regardless of size — the 10k-file large-scale run spent
-        ~84 s on 105 sequential per-chunk readbacks before this."""
+        ~84 s on 105 sequential per-chunk readbacks before grouping, and
+        8 groups of 16 still paid ~8 round trips inside a 23 s collect
+        span (r5 BENCH_LARGE). Embeddings are 1 KB/file, so the default
+        (group=0) drains EVERYTHING in one concatenate + one readback,
+        byte-capped at 256 MB of rows (a cap that binds only past ~250k
+        files). A live progress bar keeps groups of 16 so it advances."""
+        if group <= 0:
+            if bar is not None:
+                group = 16
+            else:
+                row_b = max(
+                    1,
+                    max(e.shape[1] for _, e in pending) * 4
+                    if pending else 1,
+                )
+                cap_rows = (256 << 20) // row_b
+                per = max(1, max(e.shape[0] for _, e in pending)
+                          if pending else 1)
+                group = max(16, cap_rows // per)
         for g0 in range(0, len(pending), group):
             grp = pending[g0 : g0 + group]
             with timed("engine.collect",

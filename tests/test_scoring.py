@@ -513,6 +513,68 @@ def test_race_gated_on_wire_warm(tiny_setup, monkeypatch):
     assert engine.transfer_stats()["codec_probe_ships"] == 1
 
 
+def test_capped_codec_race_roundtrip(tiny_setup, monkeypatch):
+    """With probe_cap_bytes below the batch size, the race times only a
+    small head (bounding its worst-case cost to ~cap/weather) and the
+    tail ships untimed; the reassembled device batch must be bit-exact
+    and in row order."""
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(
+        model, params, parallel_put_min_bytes=1024, wire_codec="auto"
+    )
+    engine.probe_cap_bytes = 1 << 16  # 64 KB per timed side
+    monkeypatch.setattr(
+        EmbeddingEngine, "_codec_applicable",
+        lambda self, b: b.dtype == np.int16 and b.nbytes >= 1024,
+    )
+    rng = np.random.default_rng(3)
+    batch = (200 * np.sin(
+        np.arange(32768)[None, :] / (3.0 + np.arange(8)[:, None])
+    )).astype(np.int16) + rng.integers(-3, 3, (8, 32768)).astype(np.int16)
+    lengths = np.full((8,), 32768, np.int32)
+    assert engine._probe_head_rows(batch) == 4  # 64 KB rows -> head of 4
+    payload, _len_dev, pk = engine._put(batch, lengths)
+    assert pk is None
+    assert engine.transfer_stats()["codec_probe_ships"] == 1
+    np.testing.assert_array_equal(np.asarray(payload), batch)
+
+
+def test_capped_put_probe_roundtrip(tiny_setup):
+    """Same bound for the single-vs-parallel transfer probe: a capped
+    head decides the mode, the tail rides the decision, order and values
+    are preserved."""
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(
+        model, params, parallel_put_min_bytes=1024, wire_codec="off"
+    )
+    engine.probe_cap_bytes = 1 << 16
+    batch = np.arange(8 * 32768, dtype=np.float32).reshape(8, 32768)
+    out = np.asarray(engine._put_array(batch))
+    np.testing.assert_array_equal(out, batch)
+    assert engine.transfer_stats()["mode"] in ("single", "parallel")
+
+
+def test_collect_single_group_drain(tiny_setup):
+    """Default collect (no progress bar) drains all pending chunks in ONE
+    concatenate + readback (relay round trips are ~0.5-1 s each); order
+    and values must survive the group concat, including ragged tails."""
+    cfg, _oracle, model, params = tiny_setup
+    engine = EmbeddingEngine(model, params)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    chunks = [[0, 1], [2, 3, 4], [5]]
+    embs = [
+        jnp.asarray(rng.standard_normal((len(c), 4)).astype(np.float32))
+        for c in chunks
+    ]
+    out = {}
+    engine._collect(list(zip(chunks, embs)), out)
+    for chunk, e in zip(chunks, embs):
+        for row, i in enumerate(chunk):
+            np.testing.assert_array_equal(out[i], np.asarray(e)[row])
+
+
 def test_wire_throttle_env(monkeypatch):
     """NOMAD_WIRE_THROTTLE_MBPS paces the put path to the synthetic rate
     (the bench's bad-weather regime leg); unset, it adds nothing."""
