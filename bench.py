@@ -472,7 +472,15 @@ def main():
         wire conditions. The race banks DELIVERED rates (wire + encode,
         engine._probe_codec), so 'auto' must name the measured winner —
         verdict_matches_e2e is the check (VERDICT r4 item 3: the old
-        wire-only race let packed win races it lost end-to-end)."""
+        wire-only race let packed win races it lost end-to-end).
+
+        The forced off/on passes INTERLEAVE (off,on,off,on,...): as
+        sequential per-mode blocks they sampled different wire-weather
+        epochs and drifted up to ~8% on a swinging relay, flipping
+        verdict_matches_e2e on noise in BOTH directions within one run
+        (r5 bad-weather bench: natural leg off-block 406.6 then on-block
+        437.5 with verdict raw; throttled leg the mirror image).
+        Interleaved, each rep's pair rides the same weather."""
         from nomad_tpu.ops import wirecodec
 
         blen_s = bucket_length(len(sp[0]))
@@ -484,42 +492,55 @@ def main():
         ratio = probe["nbytes"] / probe_batch.nbytes if probe else None
         det = {"codec_ratio": round(ratio, 3) if ratio else None}
         wavsec = sum(len(w) for w in sp) / 16000.0
-        for mode in ("off", "on", "auto"):
-            engine.wire_codec = mode
-            engine.reset_codec_race()
-            if mode != "off":
-                engine.prewarm_codec(sp)
-            saved0 = engine._codec_saved_bytes
-            if mode == "auto":
-                # settle the race before timing: the production cadence
-                # (probe_interval=8 with two-consecutive-wins) needs ~16
-                # puts to confirm a packed flip, but this leg's payload is
-                # only a few batches per pass — race every put across two
-                # warm passes so the verdict the timed passes run under is
-                # the converged one, then restore the cadence
-                prev_int = engine.probe_interval
-                engine.probe_interval = 1
-                try:
-                    engine.embed_waves(sp)
-                    engine.embed_waves(sp)
-                finally:
-                    engine.probe_interval = prev_int
-            engine.embed_waves(sp)  # warm: codec decode shape, race settle
-            sbest = np.inf
-            for _ in range(reps):
+        # warm both forced paths (packed decode shapes compile here, raw
+        # shapes are already the headline's)
+        engine.wire_codec = "on"
+        engine.reset_codec_race()
+        engine.prewarm_codec(sp)
+        engine.embed_waves(sp)
+        engine.wire_codec = "off"
+        engine.embed_waves(sp)
+        best = {"off": np.inf, "on": np.inf}
+        saved_timed = 0
+        for _ in range(reps):
+            for mode in ("off", "on"):
+                engine.wire_codec = mode
+                saved0 = engine._codec_saved_bytes
                 t0 = time.time()
                 engine.embed_waves(sp)
-                sbest = min(sbest, time.time() - t0)
-            det[f"wss_{mode}"] = round(wavsec / sbest, 1)
-            if mode == "on":
-                det["saved_MB"] = round(
-                    (engine._codec_saved_bytes - saved0) / 1e6, 1
-                )
-            elif mode == "auto":
-                det["auto_verdict"] = (
-                    "packed" if engine.transfer_stats()["codec_in_use"]
-                    else "raw"
-                )
+                best[mode] = min(best[mode], time.time() - t0)
+                if mode == "on":
+                    saved_timed = max(
+                        saved_timed, engine._codec_saved_bytes - saved0
+                    )
+        det["wss_off"] = round(wavsec / best["off"], 1)
+        det["wss_on"] = round(wavsec / best["on"], 1)
+        det["saved_MB"] = round(saved_timed / 1e6, 1)
+        # 'auto' pass: settle the race before timing — the production
+        # cadence (probe_interval=8 with two-consecutive-wins) needs ~16
+        # puts to confirm a packed flip, but this leg's payload is only a
+        # few batches per pass, so race every put across two warm passes
+        # and then restore the cadence
+        engine.wire_codec = "auto"
+        engine.reset_codec_race()
+        engine.prewarm_codec(sp)
+        prev_int = engine.probe_interval
+        engine.probe_interval = 1
+        try:
+            engine.embed_waves(sp)
+            engine.embed_waves(sp)
+        finally:
+            engine.probe_interval = prev_int
+        engine.embed_waves(sp)  # settle tail: verdict now converged
+        sbest = np.inf
+        for _ in range(reps):
+            t0 = time.time()
+            engine.embed_waves(sp)
+            sbest = min(sbest, time.time() - t0)
+        det["wss_auto"] = round(wavsec / sbest, 1)
+        det["auto_verdict"] = (
+            "packed" if engine.transfer_stats()["codec_in_use"] else "raw"
+        )
         engine.wire_codec = "auto"
         engine.reset_codec_race()
         # did the decision name the measured winner? (3% tie band: below

@@ -236,6 +236,14 @@ class Nomad:
                 raise Exception(f"deg csv not found: {deg}")
         else:
             raise Exception(f"unknown mode {mode!r}: expected 'dir' or 'csv'")
+        # The reference only creates the TIMESTAMPED default dir and lets a
+        # given results_path fail at to_csv time (`nomad.py:122-139`) —
+        # i.e. AFTER the full embedding pass. Same contract (we don't
+        # create the dir either), but fail BEFORE any model/embedding work.
+        if results_path is not None and not os.path.isdir(results_path):
+            raise Exception(
+                f"results_path directory not found: {results_path}"
+            )
 
         print(f"Compute non-matching reference embeddings from {nmr}")
         nmr_paths = self._resolve_paths(nmr)

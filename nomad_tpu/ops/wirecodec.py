@@ -296,6 +296,27 @@ def decode_combined_call(combined, b: int, t: int):
 # thread while it ships the race's packed half as raw instead.
 _prewarm_lock = threading.Lock()
 _prewarm_inflight: set = set()
+_prewarm_threads: list = []  # live prewarm threads, joined at exit
+
+
+def _join_prewarms(timeout: float = 60.0) -> None:
+    """atexit hook: a daemon thread still inside an XLA compile when the
+    interpreter exits gets killed mid-RPC and the PJRT C++ layer calls
+    terminate() — observed as bench_large exiting SIGABRT (134) AFTER a
+    clean run because a cold-race prewarm was still compiling over the
+    relay. Joining here (atexit runs before daemon threads are killed)
+    lets in-flight compiles finish; the bound keeps a wedged relay from
+    hanging process exit forever."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
+    for th in list(_prewarm_threads):
+        th.join(max(0.0, deadline - _time.monotonic()))
+
+
+import atexit as _atexit
+
+_atexit.register(_join_prewarms)
 
 
 def decode_combined_ready(rows_shape, b: int, t: int) -> bool:
@@ -326,8 +347,11 @@ def prewarm_decode_combined_async(rows_shape, b: int, t: int):
         finally:
             with _prewarm_lock:
                 _prewarm_inflight.discard(key)
+                _prewarm_threads.remove(th)
 
     th = threading.Thread(target=run, daemon=True, name="wirecodec-prewarm")
+    with _prewarm_lock:
+        _prewarm_threads.append(th)
     th.start()
     return th
 

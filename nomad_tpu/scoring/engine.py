@@ -100,6 +100,15 @@ def warm_wire_async() -> None:
     )
     _wire_thread.start()
 
+    # a daemon thread killed mid-d2h at interpreter exit can make the
+    # PJRT C++ layer terminate() (same failure mode as the wirecodec
+    # prewarm threads — see wirecodec._join_prewarms); bounded join at
+    # exit lets the in-flight round trip finish
+    import atexit
+
+    atexit.register(lambda: _wire_thread.join(30.0)
+                    if _wire_thread is not None else None)
+
 
 def warm_wire_ready() -> bool:
     """Non-blocking: has the background d2h channel warm completed?
@@ -1457,6 +1466,16 @@ class EmbeddingEngine:
                 group = max(16, cap_rows // per)
         for g0 in range(0, len(pending), group):
             grp = pending[g0 : g0 + group]
+            # split the wait: 'drain' blocks on the LAST dispatched chunk
+            # (queued compute + one RTT), so the 'collect' span underneath
+            # is pure d2h readback + concat — r5's tone re-drive showed a
+            # 77.7 s collect with no way to tell trailing compute from a
+            # d2h weather episode
+            with timed("engine.collect.drain"):
+                try:
+                    np.asarray(jnp.ravel(grp[-1][1])[:1])
+                except Exception:  # pragma: no cover - deleted buffer
+                    pass
             with timed("engine.collect",
                        items=sum(len(c) for c, _ in grp)):
                 if len(grp) == 1:

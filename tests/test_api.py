@@ -207,3 +207,18 @@ def test_balanced_precision_is_scoring_default(tmp_path):
 
     with pytest.raises(ValueError, match="unknown precision"):
         Nomad(weights_dir=str(tmp_path / "nope"), precision="quantum")
+
+
+def test_predict_missing_results_path_fails_early(tmp_path):
+    """A results_path that doesn't exist must fail BEFORE any model or
+    embedding work: the reference contract writes into the given dir
+    without creating it (`nomad.py:122-139` creates only the timestamped
+    default), so the failure is inevitable — paying a 10-minute embedding
+    pass first (observed on-chip) is the only thing worth changing."""
+    from nomad_tpu.api import Nomad
+
+    n = Nomad.__new__(Nomad)  # no weights resolved: the check must not need them
+    d = tmp_path / "in"
+    d.mkdir()
+    with pytest.raises(Exception, match="results_path directory not found"):
+        n.predict("dir", str(d), str(d), str(tmp_path / "nope"))

@@ -291,3 +291,24 @@ def test_combined_frame_fuzz_roundtrip():
         )
         dec = np.asarray(wc.decode_combined_call(rows, b=b, t=t))
         np.testing.assert_array_equal(dec, arr, err_msg=f"trial {trial}")
+
+
+def test_prewarm_async_registry_and_atexit_join():
+    """Async prewarm threads register in _prewarm_threads and are pruned
+    when done; _join_prewarms (the atexit hook) drains in-flight ones so
+    the interpreter never tears down PJRT mid-compile — a daemon thread
+    still compiling at exit made bench_large abort (rc=134) AFTER a clean
+    run."""
+    arr = np.zeros((4, 2 * wc.S), np.int16)
+    enc = wc.encode(arr)
+    rows = wc.combined_rows(enc)
+    th = wc.prewarm_decode_combined_async(rows.shape, 4, 2 * wc.S)
+    if th is not None:  # None when this shape is already warm
+        assert th in wc._prewarm_threads
+        wc._join_prewarms(timeout=120.0)
+        assert not th.is_alive()
+    assert th not in wc._prewarm_threads
+    assert wc.decode_combined_ready(rows.shape, 4, 2 * wc.S)
+    # idempotent: warm key starts no new thread
+    assert wc.prewarm_decode_combined_async(rows.shape, 4, 2 * wc.S) is None
+    assert wc._prewarm_threads == []
