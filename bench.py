@@ -628,6 +628,13 @@ def main():
         n_long = int(os.environ.get("BENCH_LONG_N", 32))
         lw = synth_speech_waves(n_long, lsec, seed=9)
         long_detail = {"seconds_per_file": lsec, "n": n_long}
+        # both impls warm first, then the timed passes INTERLEAVE
+        # (xla,auto,xla,auto): the attention impl only changes COMPUTE,
+        # but each pass ships ~49 MB through the relay, so sequential
+        # per-impl blocks let wire weather masquerade as a kernel
+        # speedup/regression (one bad-weather run read auto at 0.837x
+        # where the clean measurement was 1.192x)
+        engines = {}
         for impl in ("xla", "auto"):
             m_l = NomadModel(mk(attention_impl=impl), emb_dim=256)
             e_l = EmbeddingEngine(m_l, params)
@@ -636,12 +643,17 @@ def main():
                 bucket_length(int(lsec * 16000))
             )
             e_l.embed_waves(lw)  # warm + settle the codec race
-            lbest = np.inf
-            for _ in range(2):
+            engines[impl] = e_l
+        lbest = {"xla": np.inf, "auto": np.inf}
+        for _ in range(2):
+            for impl in ("xla", "auto"):
                 t0 = time.time()
-                e_l.embed_waves(lw)
-                lbest = min(lbest, time.time() - t0)
-            long_detail[f"wss_{impl}"] = round(n_long * lsec / lbest, 1)
+                engines[impl].embed_waves(lw)
+                lbest[impl] = min(lbest[impl], time.time() - t0)
+        for impl in ("xla", "auto"):
+            long_detail[f"wss_{impl}"] = round(
+                n_long * lsec / lbest[impl], 1
+            )
         long_detail["auto_speedup"] = round(
             long_detail["wss_auto"] / long_detail["wss_xla"], 3
         )
