@@ -751,6 +751,12 @@ def main():
             "codec_probe_ships": engine.transfer_stats()["codec_probe_ships"],
             "codec_cold_races": engine.transfer_stats()["codec_cold_races"],
             "codec_saved_MB": engine.transfer_stats()["codec_saved_MB"],
+            # measured fraction of batches whose assemble-thread encode
+            # finished before the submit loop needed them — the race
+            # charges packed only the non-overlapped encode fraction
+            "encode_ready_frac": engine.transfer_stats()[
+                "encode_ready_frac"
+            ],
             # raw-vs-packed on a speech-like payload (the representative
             # workload; the codec's ~0.6x ratio turns directly into
             # throughput on a wire-bound pipeline)

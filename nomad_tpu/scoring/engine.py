@@ -293,6 +293,11 @@ class EmbeddingEngine:
     # races first and the remainder ships untimed through the decided
     # mode, bounding the worst case at ~cap/weather per side.
     probe_cap_bytes: int = 6 << 20
+    # measured fraction of batches whose assemble-thread encode was done
+    # before the submit loop needed them (EWMA across embed calls; None =
+    # no observation yet -> the race charges the FULL encode wall). See
+    # the encode-overlap note in embed_waves.
+    _encode_ready_frac: Optional[float] = field(default=None, repr=False)
     _put_mode: Optional[str] = field(default=None, repr=False)
     _put_probes: dict = field(default_factory=dict, repr=False)
     _probe_count: int = field(default=0, repr=False)
@@ -492,6 +497,13 @@ class EmbeddingEngine:
     def _debias(t: float, rtt: float) -> float:
         return max(t - rtt, t / 4, 1e-9)
 
+    def _packed_wall(self, t_wire: float, t_encode: float) -> float:
+        """The wall a steady packed batch pays: wire + the NON-overlapped
+        fraction of the host encode. Observation (_encode_ready_frac)
+        over assumption: full charge until embed_waves has banked one."""
+        frac = self._encode_ready_frac or 0.0
+        return max(t_wire + t_encode * (1.0 - frac), 1e-9)
+
     def _probe_codec(self, batch: np.ndarray, enc=None, fused=None):
         """Race raw vs packed transport on halves of THIS batch, in
         DELIVERED logical bytes/s: raw-equivalent payload over the wall
@@ -586,9 +598,19 @@ class EmbeddingEngine:
             fused_ready = full_key in self._aot
         if not fused_ready:
             t_packed += rtt
-        # delivered rate: wire wall + the host encode a steady packed
-        # batch pays (measured not-overlappable; docstring)
-        rate_packed = batch[h:].nbytes / max(t_packed + t_encode, 1e-9)
+        # delivered rate: wire wall + the fraction of the host encode a
+        # steady packed batch actually pays. Whether the assemble-pool
+        # encode overlaps the pipeline is REGIME-DEPENDENT — measured
+        # non-overlappable on a contended host (diag_stream phase S:
+        # pool-encode 725.5 < inline 798.7 < raw 897.7 wss) but fully
+        # overlapped on a pipelined good-weather run (bench r5: forced-on
+        # 1029.7 > forced-off 944.3 while the full-charge race still said
+        # raw) — so the engine measures it per call (_encode_ready_frac,
+        # banked in embed_waves) instead of assuming either way. No
+        # observation yet = conservative full charge.
+        rate_packed = batch[h:].nbytes / self._packed_wall(
+            t_packed, t_encode
+        )
         bh, t = enc_b["shape"]
         # Standalone combined decode (the probe's half-batch rides the
         # NORMAL forward after concatenation with the raw half) — but ONLY
@@ -991,6 +1013,10 @@ class EmbeddingEngine:
             "codec_race_MBps": {
                 k: round(v / 1e6, 1) for k, v in self._codec_probes.items()
             },
+            "encode_ready_frac": (
+                round(self._encode_ready_frac, 3)
+                if self._encode_ready_frac is not None else None
+            ),
         }
 
     def _put_large(self, batch: np.ndarray, mode: str):
@@ -1421,10 +1447,25 @@ class EmbeddingEngine:
             return batch, lengths, chunk_i16, enc
 
         pending: list[tuple[list[int], object]] = []
+        enc_total = enc_ready = 0
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(chunks)))) as ex:
-            for (chunk, bsz, blen), (batch, lengths, is_int16, enc) in zip(
-                chunks, ex.map(assemble, chunks)
-            ):
+            futures = [ex.submit(assemble, job) for job in chunks]
+            for (chunk, bsz, blen), fut in zip(chunks, futures):
+                # encode-overlap observation: when the assemble future
+                # (pad + memcpy + wire-codec encode) is ALREADY DONE the
+                # moment the submit loop asks for it, its encode cost rode
+                # entirely under the previous batches' wire/compute time —
+                # i.e. packed's host encode was FREE this batch. The banked
+                # fraction feeds the raw-vs-packed race, which otherwise
+                # charges packed the full encode wall (the conservative
+                # assumption measured true on a contended host, but false
+                # on a pipelined good-weather run where forced-on beat
+                # forced-off 1030 vs 944 wss while the race still said raw).
+                done_first = fut.done()
+                batch, lengths, is_int16, enc = fut.result()
+                if enc is not False:  # assemble attempted the encode
+                    enc_total += 1
+                    enc_ready += bool(done_first)
                 with timed("engine.submit", items=len(chunk), nbytes=batch.nbytes):
                     payload, len_dev, pk = self._put(batch, lengths, enc)
                     key = (
@@ -1435,6 +1476,15 @@ class EmbeddingEngine:
                         (chunk, self._dispatch(key, params, payload, len_dev))
                     )
 
+        if enc_total > 1:
+            # ignore single-batch calls: the first batch can never be
+            # "ready ahead" (nothing pipelines before it), so tiny calls
+            # would bank a spurious 0
+            frac = enc_ready / enc_total
+            old = self._encode_ready_frac
+            self._encode_ready_frac = (
+                frac if old is None else 0.5 * frac + 0.5 * old
+            )
         self._collect(pending, out, bar)
         if bar is not None:
             bar.close()

@@ -312,3 +312,40 @@ def test_prewarm_async_registry_and_atexit_join():
     # idempotent: warm key starts no new thread
     assert wc.prewarm_decode_combined_async(rows.shape, 4, 2 * wc.S) is None
     assert wc._prewarm_threads == []
+
+
+def test_encode_overlap_fraction_banked_and_charged():
+    """embed_waves banks the measured assemble-encode overlap fraction
+    (futures already done when the submit loop needs them) and the race
+    charges packed only the NON-overlapped encode fraction: whether the
+    pool encode rides under the pipeline is regime-dependent (measured
+    both ways on-chip, NOTES_ROUND5), so it must be observed, not
+    assumed."""
+    import jax.numpy as jnp
+
+    from nomad_tpu.models import NomadModel, Wav2Vec2Config
+    from nomad_tpu.scoring import engine as eng
+
+    cfg = Wav2Vec2Config.tiny()
+    model = NomadModel(cfg, emb_dim=16)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 800)), method=NomadModel.init_all
+    )
+    e = eng.EmbeddingEngine(model, params, wire_codec="on")
+    waves = [w for w in _speech_like(12, 40960)]
+    assert e.transfer_stats()["encode_ready_frac"] is None
+    e.embed_waves(waves)
+    frac = e.transfer_stats()["encode_ready_frac"]
+    # multi-chunk 'on' call with attempted encodes -> an observation lands
+    if frac is not None:  # single-chunk plans bank nothing (can't pipeline)
+        assert 0.0 <= frac <= 1.0
+    # the charge itself (pure math, deterministic): no observation =
+    # full encode wall; fully-overlapped = wire only; half = half
+    e._encode_ready_frac = None
+    assert e._packed_wall(2.0, 0.5) == 2.5
+    e._encode_ready_frac = 1.0
+    e.reset_codec_race()
+    assert e._encode_ready_frac == 1.0  # reset keeps the host observation
+    assert e._packed_wall(2.0, 0.5) == 2.0
+    e._encode_ready_frac = 0.5
+    assert e._packed_wall(2.0, 0.5) == 2.25
