@@ -657,6 +657,40 @@ def main():
         long_detail["auto_speedup"] = round(
             long_detail["wss_auto"] / long_detail["wss_xla"], 3
         )
+        # data-resident compute comparison — the DECISION variable. The
+        # e2e wss above ships ~49 MB/pass, so wire weather (±15% between
+        # interleaved pairs on this relay) swamps the kernel effect it
+        # exists to measure: the same build read auto_speedup 1.117 and
+        # 0.86 in two good-weather runs. The attention rule flips on
+        # compute, so measure compute: one resident bucket batch per impl
+        # through the already-compiled executable.
+        lblen = bucket_length(int(lsec * 16000))
+        for impl in ("xla", "auto"):
+            e_l = engines[impl]
+            lbsz = e_l.batch_size_for(lblen)
+            wave_l = jax.device_put(np.stack([
+                np.pad(np.asarray(lw[i % n_long], np.int16),
+                       (0, lblen - len(lw[i % n_long])))
+                for i in range(lbsz)
+            ]))
+            lens_l = jax.device_put(
+                np.full((lbsz,), int(lsec * 16000), np.int32)
+            )
+            pdev_l = e_l._device_params()
+            lkey = (lbsz, lblen, True)
+            np.asarray(e_l._dispatch(lkey, pdev_l, wave_l, lens_l))
+            cbest = np.inf
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(e_l._dispatch(lkey, pdev_l, wave_l, lens_l))
+                cbest = min(cbest, time.time() - t0)
+            long_detail[f"compute_wss_{impl}"] = round(
+                lbsz * lsec / cbest, 1
+            )
+        long_detail["auto_compute_speedup"] = round(
+            long_detail["compute_wss_auto"]
+            / long_detail["compute_wss_xla"], 3
+        )
 
     _stage("file_leg")
     file_wss = None
