@@ -230,6 +230,12 @@ class EmbeddingEngine:
     # request cost 29.5 s because its (2,·)/(8,·) shapes cold-compiled).
     # The padding waste is bounded by one full-batch forward per chunk.
     pad_to_compiled: bool = True
+    # Debug/measurement switch: block on each batch's result before the
+    # next put, reproducing the reference's load->transfer->compute serial
+    # loop (`nomad.py:172-183`). The bench's overlap leg runs the SAME
+    # payload serialized and pipelined back-to-back (shared weather) so
+    # the put/compute overlap is a measured ratio, not a derived ceiling.
+    serialize_pipeline: bool = False
     # Optional file-embedding cache (set to {} to enable; None = off, the
     # reference-faithful default — `nomad.py:102-105` recomputes the NMR
     # pool every predict). Keyed by (abspath, trim, mtime_ns, size) so an
@@ -1475,11 +1481,18 @@ class EmbeddingEngine:
                     pending.append(
                         (chunk, self._dispatch(key, params, payload, len_dev))
                     )
+                if self.serialize_pipeline:
+                    # reference-style serial loop: wait out this batch's
+                    # wire + compute before assembling/putting the next
+                    jax.block_until_ready(pending[-1][1])
+                    self._backlog = 0
 
-        if enc_total > 1:
+        if enc_total > 1 and not self.serialize_pipeline:
             # ignore single-batch calls: the first batch can never be
             # "ready ahead" (nothing pipelines before it), so tiny calls
-            # would bank a spurious 0
+            # would bank a spurious 0. Serialized (overlap-leg) passes are
+            # excluded too: blocking between batches leaves every assemble
+            # future done, which would bank a spurious 1.
             frac = enc_ready / enc_total
             old = self._encode_ready_frac
             self._encode_ready_frac = (
@@ -1516,14 +1529,31 @@ class EmbeddingEngine:
                 group = max(16, cap_rows // per)
         for g0 in range(0, len(pending), group):
             grp = pending[g0 : g0 + group]
-            # split the wait: 'drain' blocks on the LAST dispatched chunk
-            # (queued compute + one RTT), so the 'collect' span underneath
-            # is pure d2h readback + concat — r5's tone re-drive showed a
-            # 77.7 s collect with no way to tell trailing compute from a
-            # d2h weather episode
+            # split the wait: 'drain' waits for the group's queued compute,
+            # so the 'collect' span underneath is pure d2h readback +
+            # concat — r5's tone re-drive showed a 77.7 s collect with no
+            # way to tell trailing compute from a d2h weather episode.
+            # POLL is_ready instead of blocking on a readback: through the
+            # relay a blocking wait resolves completion lazily (measured
+            # 18.3 s drain where a 50 ms is_ready poll saw every batch
+            # ready at 12.5 s — 626 -> 911 wss on the same 2k config), and
+            # the old np.asarray(jnp.ravel(...)[:1]) probe additionally
+            # traced fresh ops (a cold ravel compile inside the drain).
             with timed("engine.collect.drain"):
                 try:
-                    np.asarray(jnp.ravel(grp[-1][1])[:1])
+                    waiting = [e for _, e in grp]
+                    while waiting:
+                        waiting = [
+                            e for e in waiting
+                            if not (hasattr(e, "is_ready") and e.is_ready())
+                        ]
+                        if not waiting:
+                            break
+                        if any(not hasattr(e, "is_ready") for e in waiting):
+                            for e in waiting:
+                                jax.block_until_ready(e)
+                            break
+                        time.sleep(0.02)
                 except Exception:  # pragma: no cover - deleted buffer
                     pass
             with timed("engine.collect",

@@ -117,6 +117,24 @@ def test_engine_matches_direct_apply(tiny_setup):
         np.testing.assert_allclose(emb[i], direct[0], atol=1e-5)
 
 
+def test_serialized_pipeline_matches_pipelined(tiny_setup):
+    """serialize_pipeline (the bench overlap leg's reference-style serial
+    loop) must be a pure scheduling change: identical embeddings, and the
+    backlog counter ends drained."""
+    cfg, oracle, model, params = tiny_setup
+    rng = np.random.default_rng(11)
+    waves = [
+        (0.2 * rng.standard_normal(n)).astype(np.float32)
+        for n in [900, 5000, 1300, 4200, 700, 2600]
+    ]
+    piped = EmbeddingEngine(model, params)
+    want = piped.embed_waves(waves)
+    serial = EmbeddingEngine(model, params, serialize_pipeline=True)
+    got = serial.embed_waves(waves)
+    np.testing.assert_array_equal(got, want)
+    assert serial._backlog == 0
+
+
 def test_engine_matches_torch_oracle_loop(tiny_setup):
     cfg, oracle, model, params = tiny_setup
     rng = np.random.default_rng(6)
