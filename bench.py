@@ -18,7 +18,7 @@ also reports:
   * h2d_MBps       — measured host->device bandwidth at run time (the axon
     relay swings ~8-65 MB/s between runs; this field explains variance)
 
-Config via env: BENCH_N_DEG (256), BENCH_N_NMR (32), BENCH_SECONDS (10),
+Config via env: BENCH_N_DEG (640), BENCH_N_NMR (64), BENCH_SECONDS (10),
 BENCH_PRECISION (fast|exact), BENCH_ATTN (xla|pallas), BENCH_REPEATS (5),
 BENCH_MESH, BENCH_FILE_MODE (1 to include the file leg).
 """
@@ -260,8 +260,13 @@ def main():
         import jax as _jax
 
         _jax.config.update("jax_platforms", plat)
-    n_deg = int(os.environ.get("BENCH_N_DEG", 256))
-    n_nmr = int(os.environ.get("BENCH_N_NMR", 32))
+    # 640+64 = 7 full 96-row batches + a 32-row tail: enough batches that
+    # the pipelined steady state (wire-bound) dominates the per-pass fixed
+    # drain (last batch's compute + one d2h round trip). At the round-4
+    # default (256+32 = 3 batches) the fixed cost capped overlap
+    # efficiency at ~0.8 no matter how well the loop pipelined.
+    n_deg = int(os.environ.get("BENCH_N_DEG", 640))
+    n_nmr = int(os.environ.get("BENCH_N_NMR", 64))
     seconds = float(os.environ.get("BENCH_SECONDS", 10))
     attn = os.environ.get("BENCH_ATTN", "xla")
     # 'balanced' (default since round 4) = scoring's production default:
@@ -381,8 +386,12 @@ def main():
     prewarm_s = time.time() - t0
 
     def run():
-        # single engine pass (deg + nmr) so every batch pipelines
-        emb = engine.embed_waves(deg + nmr)
+        # single engine pass (deg + nmr) so every batch pipelines; the
+        # embeddings stay ON DEVICE through the distance matrix — the
+        # only host round trip per pass is the final dm readback (the
+        # host-collect + cdist re-upload cost 2 extra relay round trips,
+        # ~0.2-1 s of a ~2-6 s pass)
+        emb = engine.embed_waves_device(deg + nmr)
         dm = np.asarray(cdist(emb[:n_deg], emb[n_deg:]))
         return dm
 
@@ -598,6 +607,11 @@ def main():
         sp = deg + nmr if payload == "speech" else synth_speech_waves(
             n_deg + n_nmr, seconds
         )
+        # cap the A/B payload at rounds 1-4's 288 files (3 batches/pass):
+        # the leg is a verdict check, not the headline, and it runs ~14
+        # passes across off/on/auto — at the new 704-file headline default
+        # an uncapped leg would add minutes of pure wire time
+        sp = sp[:288]
         speech_detail = _speech_ab(sp, reps=3)
 
     # bad-weather regime leg (VERDICT r4 item 3's "both weather regimes"):
@@ -628,20 +642,22 @@ def main():
     if payload == "speech" and mesh is None and (
         os.environ.get("BENCH_TONE", "1") != "0"
     ):
-        tone = synth_waves(n_deg, seconds, seed=2) + synth_waves(
-            n_nmr, seconds, seed=3
+        # counts pinned to rounds 1-3's payload (256+32), NOT the (larger)
+        # headline default, and the r1-3 timed body (host-collect
+        # embed_waves + cdist + readback) — the leg exists purely for
+        # cross-round comparability
+        tn_deg, tn_nmr = min(n_deg, 256), min(n_nmr, 32)
+        tone = synth_waves(tn_deg, seconds, seed=2) + synth_waves(
+            tn_nmr, seconds, seed=3
         )
         engine.embed_waves(tone)  # settle the race for this payload class
         tbest2 = np.inf
-        # time the SAME body as the headline's run() — embed + distance
-        # matrix + host readback — so the tone number stays comparable to
-        # rounds 1-3's headline (advisor r4: embed-only read ~a few % high)
         for _ in range(3):
             t0 = time.time()
             emb_t = engine.embed_waves(tone)
-            np.asarray(cdist(emb_t[:n_deg], emb_t[n_deg:]))
+            np.asarray(cdist(emb_t[:tn_deg], emb_t[tn_deg:]))
             tbest2 = min(tbest2, time.time() - t0)
-        tone_wss = total_wav_sec / tbest2
+        tone_wss = (tn_deg + tn_nmr) * seconds / tbest2
         engine.reset_codec_race()
 
     # long-file leg (VERDICT r4 item 7 — the Pallas kernel's regime,

@@ -1356,11 +1356,59 @@ class EmbeddingEngine:
         n = len(waves)
         if n == 0:
             return np.zeros((0, self.model.emb_dim), np.float32)
+        pending, bar = self._submit_waves(waves, progress)
+        out: dict[int, np.ndarray] = {}
+        self._collect(pending, out, bar)
+        if bar is not None:
+            bar.close()
+        return np.stack([out[i] for i in range(n)])
+
+    def embed_waves_device(self, waves: Sequence[np.ndarray]):
+        """Embed waveforms and leave the result ON DEVICE: a jax array
+        [N, emb_dim] in input order. Callers that consume embeddings on
+        device (the scoring distance matrix) skip embed_waves' host
+        readback AND cdist's h2d re-upload — through the relay each round
+        trip costs ~0.1-1 s of latency regardless of payload, which is a
+        large share of the drain of a short pipelined pass (the bench
+        headline runs 3-8 batches/pass). Mesh mode falls back to the host
+        path: per-chunk results are sharded, and the large-scale path
+        shards the distance matrix itself instead (scoring/large_scale.py).
+        """
+        n = len(waves)
+        if n == 0 or self.mesh is not None:
+            return jnp.asarray(self.embed_waves(waves))
+        pending, _ = self._submit_waves(waves, progress=False)
+        with timed("engine.collect.drain"):
+            self._poll_ready([e for _, e in pending])
+        # restore input order: rows of the device concat follow chunk
+        # order; invert the permutation with one tiny device gather (the
+        # slice/concat/take executables are shape-cached across calls)
+        perm = np.concatenate(
+            [np.asarray(c, np.int64) for c, _ in pending]
+        )
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        parts = [e[: len(c)] for c, e in pending]
+        cat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        emb = jnp.take(cat, jnp.asarray(inv), axis=0)
+        # the poll above waited out every queued put/compute: drained
+        self._backlog = 0
+        return emb
+
+    def _submit_waves(
+        self,
+        waves: Sequence[np.ndarray],
+        progress: bool = False,
+    ):
+        """Shared submit pipeline: plan buckets/batches, assemble padded
+        arrays on a thread pool, put + dispatch each batch async. Returns
+        ``(pending, bar)`` where pending is a list of
+        ``(original_indices, device_embeddings)`` in submit order."""
+        n = len(waves)
         order = sorted(range(n), key=lambda i: len(waves[i]))
         # start the (up to ~380 MB) param transfer now; shape compiles
         # below need only avals and run concurrently with it
         params_future = self._params_async()
-        out: dict[int, np.ndarray] = {}
 
         # group by bucket
         groups: dict[int, list[int]] = {}
@@ -1498,10 +1546,31 @@ class EmbeddingEngine:
             self._encode_ready_frac = (
                 frac if old is None else 0.5 * frac + 0.5 * old
             )
-        self._collect(pending, out, bar)
-        if bar is not None:
-            bar.close()
-        return np.stack([out[i] for i in range(n)])
+        return pending, bar
+
+    @staticmethod
+    def _poll_ready(arrs) -> None:
+        """Wait for queued device results by POLLING is_ready: through the
+        relay a blocking wait resolves completion lazily (measured 18.3 s
+        where a 50 ms poll saw every batch ready at 12.5 s — 626 -> 911
+        wss on the same 2k config), and a readback probe would trace
+        fresh ops (a cold ravel compile inside the drain)."""
+        try:
+            waiting = list(arrs)
+            while waiting:
+                waiting = [
+                    e for e in waiting
+                    if not (hasattr(e, "is_ready") and e.is_ready())
+                ]
+                if not waiting:
+                    break
+                if any(not hasattr(e, "is_ready") for e in waiting):
+                    for e in waiting:
+                        jax.block_until_ready(e)
+                    break
+                time.sleep(0.02)
+        except Exception:  # pragma: no cover - deleted buffer
+            pass
 
     def _collect(self, pending, out, bar=None, group: int = 0) -> None:
         """Drain (chunk, device-embedding) results in GROUPS: one device
@@ -1529,33 +1598,13 @@ class EmbeddingEngine:
                 group = max(16, cap_rows // per)
         for g0 in range(0, len(pending), group):
             grp = pending[g0 : g0 + group]
-            # split the wait: 'drain' waits for the group's queued compute,
-            # so the 'collect' span underneath is pure d2h readback +
-            # concat — r5's tone re-drive showed a 77.7 s collect with no
-            # way to tell trailing compute from a d2h weather episode.
-            # POLL is_ready instead of blocking on a readback: through the
-            # relay a blocking wait resolves completion lazily (measured
-            # 18.3 s drain where a 50 ms is_ready poll saw every batch
-            # ready at 12.5 s — 626 -> 911 wss on the same 2k config), and
-            # the old np.asarray(jnp.ravel(...)[:1]) probe additionally
-            # traced fresh ops (a cold ravel compile inside the drain).
+            # split the wait: 'drain' waits for the group's queued compute
+            # (is_ready poll — see _poll_ready), so the 'collect' span
+            # underneath is pure d2h readback + concat — r5's tone
+            # re-drive showed a 77.7 s collect with no way to tell
+            # trailing compute from a d2h weather episode.
             with timed("engine.collect.drain"):
-                try:
-                    waiting = [e for _, e in grp]
-                    while waiting:
-                        waiting = [
-                            e for e in waiting
-                            if not (hasattr(e, "is_ready") and e.is_ready())
-                        ]
-                        if not waiting:
-                            break
-                        if any(not hasattr(e, "is_ready") for e in waiting):
-                            for e in waiting:
-                                jax.block_until_ready(e)
-                            break
-                        time.sleep(0.02)
-                except Exception:  # pragma: no cover - deleted buffer
-                    pass
+                self._poll_ready([e for _, e in grp])
             with timed("engine.collect",
                        items=sum(len(c) for c, _ in grp)):
                 if len(grp) == 1:

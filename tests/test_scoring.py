@@ -117,6 +117,27 @@ def test_engine_matches_direct_apply(tiny_setup):
         np.testing.assert_allclose(emb[i], direct[0], atol=1e-5)
 
 
+def test_embed_waves_device_matches_host_path(tiny_setup):
+    """embed_waves_device (the bench headline's device-resident scoring
+    path — skips the host collect + cdist re-upload round trips) must
+    return bit-identical embeddings to embed_waves, in input order,
+    including padded tail batches and the empty call."""
+    cfg, oracle, model, params = tiny_setup
+    rng = np.random.default_rng(17)
+    waves = [
+        (0.2 * rng.standard_normal(n)).astype(np.float32)
+        for n in [900, 5000, 1300, 4200, 700, 2600, 3100]
+    ]
+    engine = EmbeddingEngine(model, params, batch_sample_budget=8192)
+    host = engine.embed_waves(waves)
+    dev = engine.embed_waves_device(waves)
+    assert dev.shape == host.shape
+    np.testing.assert_array_equal(np.asarray(dev), host)
+    assert engine._backlog == 0
+    empty = engine.embed_waves_device([])
+    assert np.asarray(empty).shape == (0, 16)
+
+
 def test_serialized_pipeline_matches_pipelined(tiny_setup):
     """serialize_pipeline (the bench overlap leg's reference-style serial
     loop) must be a pure scheduling change: identical embeddings, and the
